@@ -1,0 +1,158 @@
+"""Command-line interface (reference: main.rs:23-126).
+
+Flag-for-flag parity with the reference's two subcommands:
+
+  polypolish-tpu filter --in1 .. --in2 .. --out1 .. --out2 ..
+                        [--orientation auto] [--low 0.1] [--high 99.9]
+  polypolish-tpu polish [--debug FILE] [-i 0.2] [-v 0.5] [-m 10] [-d 5]
+                        [--careful] assembly sam [sam ...]
+
+Extra TPU-runtime flags (no reference counterpart): ``--backend`` to pick
+the vote/consensus execution backend and ``--pure-python`` to disable the
+native SAM packer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from polypolish_tpu import TOOL_NAME, __version__
+from polypolish_tpu.errors import PolypolishError, render_error_and_exit
+
+BANNER = r"""  _____        _                       _  _       _
+ |  __ \      | |                     | |(_)     | |
+ | |__) |___  | | _   _  _ __    ___  | | _  ___ | |__
+ |  ___// _ \ | || | | || '_ \  / _ \ | || |/ __|| '_ \
+ | |   | (_) || || |_| || |_) || (_) || || |\__ \| | | |
+ |_|    \___/ |_| \__, || .__/  \___/ |_||_||___/|_| |_|
+                   __/ || |                 (TPU-native)
+                  |___/ |_|"""
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="polypolish-tpu",
+        description=(
+            f"{TOOL_NAME} v{__version__}: short-read polishing of long-read "
+            "assemblies, TPU-native"
+        ),
+    )
+    parser.add_argument(
+        "--version", action="version", version=f"{TOOL_NAME} v{__version__}"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    f = sub.add_parser(
+        "filter", help="filter paired-end alignments based on insert size"
+    )
+    f.add_argument("--in1", required=True, help="Input SAM file - first read in pairs")
+    f.add_argument("--in2", required=True, help="Input SAM file - second read in pairs")
+    f.add_argument("--out1", required=True, help="Output SAM file - first read in pairs")
+    f.add_argument("--out2", required=True, help="Output SAM file - second read in pairs")
+    f.add_argument(
+        "--orientation", default="auto", help="Expected pair orientation (default: auto)"
+    )
+    f.add_argument(
+        "--low", type=float, default=0.1, help="Low percentile threshold (default: 0.1)"
+    )
+    f.add_argument(
+        "--high", type=float, default=99.9,
+        help="High percentile threshold (default: 99.9)",
+    )
+
+    p = sub.add_parser(
+        "polish", help="polish a long-read assembly using short-read alignments"
+    )
+    p.add_argument(
+        "--debug", default=None,
+        help="Optional file to store per-base information for debugging purposes",
+    )
+    p.add_argument(
+        "-i", "--fraction_invalid", type=float, default=0.2,
+        help="A base must make up less than this fraction of the read depth "
+        "to be considered invalid (default: 0.2)",
+    )
+    p.add_argument(
+        "-v", "--fraction_valid", type=float, default=0.5,
+        help="A base must make up at least this fraction of the read depth "
+        "to be considered valid (default: 0.5)",
+    )
+    p.add_argument(
+        "-m", "--max_errors", type=int, default=10,
+        help="Ignore alignments with more than this many mismatches and "
+        "indels (default: 10)",
+    )
+    p.add_argument(
+        "-d", "--min_depth", type=int, default=5,
+        help="A base must occur at least this many times in the pileup to "
+        "be considered valid (default: 5)",
+    )
+    p.add_argument(
+        "--careful", action="store_true",
+        help="Ignore any reads with multiple alignments",
+    )
+    p.add_argument(
+        "--backend", default="auto", choices=("auto", "host", "xla", "pallas"),
+        help="Vote/consensus execution backend (default: auto = device if "
+        "a TPU is attached, else host)",
+    )
+    p.add_argument(
+        "--pure-python", action="store_true",
+        help="Disable the native (C++) SAM packer",
+    )
+    p.add_argument("assembly", help="Assembly to polish (one file in FASTA format)")
+    p.add_argument(
+        "sam", nargs="+", help="Short read alignments (one or more files in SAM format)"
+    )
+    return parser
+
+
+def _resolve_backend(requested: str) -> str:
+    if requested != "auto":
+        return requested
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+        if platform in ("tpu", "axon"):
+            return "pallas"
+        return "host"
+    except Exception:
+        return "host"
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if not argv:
+        print(BANNER, file=sys.stderr)
+        build_parser().print_help(sys.stderr)
+        return 2
+    args = build_parser().parse_args(argv)
+    try:
+        if args.command == "filter":
+            from polypolish_tpu.pipeline.filtering import filter_pairs
+
+            filter_pairs(
+                args.in1, args.in2, args.out1, args.out2,
+                args.orientation, args.low, args.high,
+            )
+        elif args.command == "polish":
+            from polypolish_tpu.pipeline.polish import polish
+
+            polish(
+                args.debug, args.fraction_invalid, args.fraction_valid,
+                args.max_errors, args.min_depth, args.careful,
+                args.assembly, args.sam,
+                backend=_resolve_backend(args.backend),
+                use_native=not args.pure_python,
+            )
+    except PolypolishError as e:
+        render_error_and_exit(e)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

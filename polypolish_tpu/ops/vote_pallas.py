@@ -1,0 +1,154 @@
+"""Pallas TPU kernel for pileup vote accumulation.
+
+Replaces the reference's per-base scatter loop (pileup.rs:56-65 /
+pileup.rs:189-200) with a TPU-native design:
+
+  1. Host: dense-tier events (position, vocab_id) are bucketed by
+     position tile (TILE_P positions per tile) and padded to fixed-size
+     chunks of E_B events (pad events use position -1, which one-hots to
+     all-zero).  Every tile gets at least one chunk so every output
+     block is visited and initialised.
+  2. Device: grid over chunks.  Each chunk builds two one-hot matrices
+     — vocab one-hot A:(8, E_B) and local-position one-hot
+     B:(E_B, TILE_P) — and accumulates A @ B into the (8, TILE_P)
+     output tile **on the MXU**.  Scatter-add becomes matmul: exactly
+     associative integer arithmetic, so results are bitwise identical
+     across chunk order, tiling, and device meshes (psum-safe).
+
+The chunk->tile map rides in scalar-prefetch memory so consecutive
+chunks of one tile revisit the same output block without HBM traffic
+(Pallas keeps the block resident in VMEM until the block index changes).
+
+Counts are exact: per-chunk partial sums are < 2^24 so the f32 MXU path
+is integer-exact; accumulation into the int32 output tile is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from polypolish_tpu.vocab import DENSE_V
+
+TILE_P = 512  # positions per output tile (lane-dim multiple of 128)
+E_B = 256  # events per chunk (MXU contraction dim, multiple of 8)
+
+
+def _vote_kernel(tiles_ref, pos_ref, vocab_ref, out_ref):
+    c = pl.program_id(0)
+    prev_tile = tiles_ref[jnp.maximum(c - 1, 0)]
+    is_first = jnp.logical_or(c == 0, tiles_ref[c] != prev_tile)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    pos = pos_ref[0, :]  # (E_B,) int32, -1 = padding
+    voc = vocab_ref[0, :]  # (E_B,) int32
+
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (DENSE_V, E_B), 0)
+    a = (vrow == voc[None, :]).astype(jnp.float32)  # (8, E_B) one-hot
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (E_B, TILE_P), 1)
+    b = (pcol == pos[:, None]).astype(jnp.float32)  # (E_B, TILE_P) one-hot
+
+    contrib = jnp.dot(a, b, preferred_element_type=jnp.float32)
+    out_ref[:, :] += contrib.astype(jnp.int32)
+
+
+def prepare_chunks(
+    pos: np.ndarray, vocab: np.ndarray, num_positions: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Bucket dense-tier events by position tile and pad to E_B chunks.
+
+    Returns (chunk_pos_local (C, E_B) int32, chunk_vocab (C, E_B) int32,
+    chunk_tile (C,) int32, n_tiles).
+    """
+    mask = (vocab >= 0) & (vocab < DENSE_V) & (pos >= 0) & (pos < num_positions)
+    pos = np.asarray(pos[mask], dtype=np.int64)
+    vocab = np.asarray(vocab[mask], dtype=np.int32)
+    n_tiles = max(1, -(-num_positions // TILE_P))
+
+    tile = (pos // TILE_P).astype(np.int64)
+    order = np.argsort(tile, kind="stable")
+    pos = pos[order]
+    vocab = vocab[order]
+    tile = tile[order]
+
+    per_tile = np.bincount(tile, minlength=n_tiles)
+    chunks_per_tile = np.maximum(1, -(-per_tile // E_B))
+    n_chunks = int(chunks_per_tile.sum())
+
+    chunk_pos = np.full((n_chunks, E_B), -1, dtype=np.int32)
+    chunk_vocab = np.zeros((n_chunks, E_B), dtype=np.int32)
+    chunk_tile = np.repeat(
+        np.arange(n_tiles, dtype=np.int32), chunks_per_tile
+    )
+
+    # slot offset of each tile's first chunk, in flattened event slots
+    chunk_start = np.concatenate(([0], np.cumsum(chunks_per_tile)))[:-1]
+    tile_event_start = np.concatenate(([0], np.cumsum(per_tile)))[:-1]
+    # destination slot for each (sorted) event
+    within_tile = np.arange(pos.size) - tile_event_start[tile]
+    dst = chunk_start[tile] * E_B + within_tile
+    flat_pos = chunk_pos.reshape(-1)
+    flat_vocab = chunk_vocab.reshape(-1)
+    flat_pos[dst] = (pos - tile * TILE_P).astype(np.int32)
+    flat_vocab[dst] = vocab
+    return chunk_pos, chunk_vocab, chunk_tile, n_tiles
+
+
+def _vote_pallas_call(chunk_pos, chunk_vocab, chunk_tile, n_tiles, interpret):
+    n_chunks = chunk_pos.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, E_B), lambda c, tiles: (c, 0)),
+            pl.BlockSpec((1, E_B), lambda c, tiles: (c, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (DENSE_V, TILE_P), lambda c, tiles: (0, tiles[c])
+        ),
+    )
+    return pl.pallas_call(
+        _vote_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((DENSE_V, n_tiles * TILE_P), jnp.int32),
+        interpret=interpret,
+    )(chunk_tile, chunk_pos, chunk_vocab)
+
+
+_vote_pallas_jit = jax.jit(
+    _vote_pallas_call, static_argnames=("n_tiles", "interpret")
+)
+
+
+def _default_interpret() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:
+        return True
+
+
+def dense_counts_pallas(
+    pos: np.ndarray,
+    vocab: np.ndarray,
+    num_positions: int,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """(8, P) int32 dense vote counts via the MXU one-hot-matmul kernel."""
+    if interpret is None:
+        interpret = _default_interpret()
+    chunk_pos, chunk_vocab, chunk_tile, n_tiles = prepare_chunks(
+        pos, vocab, num_positions
+    )
+    out = _vote_pallas_jit(
+        jnp.asarray(chunk_pos), jnp.asarray(chunk_vocab),
+        jnp.asarray(chunk_tile), n_tiles=n_tiles, interpret=interpret,
+    )
+    return out[:, :num_positions]

@@ -1,0 +1,415 @@
+"""The ``polish`` workflow driver (reference: polish.rs:26-300).
+
+Host orchestration: validate options, load the assembly into per-contig
+vote accumulators, stream SAM files into vote events, then for each
+contig run the vote-count + consensus passes and emit the polished FASTA
+to stdout (stats to stderr, optional per-base debug TSV).
+
+The heavy integer work (dense vote counts, consensus decision) runs on
+the selected backend ("host" numpy, "xla", or "pallas"); the f64
+depth/threshold arithmetic stays on the host for bit-exact parity with
+the reference (see ops/vote.py and ops/consensus.py docstrings).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict, List, Optional, TextIO, Tuple
+
+import numpy as np
+
+from polypolish_tpu import __version__, log
+from polypolish_tpu.errors import check_if_file_exists, quit_with_error
+from polypolish_tpu.io.fasta import load_fasta, write_fasta_record
+from polypolish_tpu.ops import pack
+from polypolish_tpu.ops.consensus import (
+    ST_CHANGED,
+    STATUS_STRINGS,
+    compute_thresholds,
+    consensus_dense_jax,
+    consensus_dense_numpy,
+    consensus_one_position,
+)
+from polypolish_tpu.ops.vote import count_votes
+from polypolish_tpu.stats import qscore
+from polypolish_tpu.utils.timing import format_duration
+from polypolish_tpu.vocab import DENSE_V, Vocab
+
+
+def fmt_f64(x: float) -> str:
+    """Rust's f64 Display: integral values print without a trailing .0."""
+    if x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    return repr(x)
+
+
+def polish(
+    debug: Optional[str],
+    fraction_invalid: float,
+    fraction_valid: float,
+    max_errors: int,
+    min_depth: int,
+    careful: bool,
+    assembly: str,
+    sam: List[str],
+    out: Optional[TextIO] = None,
+    backend: str = "host",
+    use_native: bool = True,
+) -> List[Tuple[str, int]]:
+    """Run the full polish workflow; returns [(name, new_length)]."""
+    start_time = time.monotonic()
+    if out is None:
+        out = sys.stdout
+    check_option_values(fraction_invalid, fraction_valid)
+    check_inputs_exist(assembly, sam)
+    starting_message(
+        debug, fraction_invalid, fraction_valid, max_errors, min_depth,
+        careful, assembly, sam,
+    )
+    seq_names, votes = load_assembly(assembly)
+    vocab = Vocab()
+    load_alignments(max_errors, careful, sam, votes, vocab, use_native)
+    new_lengths = polish_sequences(
+        debug, fraction_invalid, fraction_valid, min_depth,
+        seq_names, votes, vocab, out, backend,
+    )
+    finished_message(debug, new_lengths, start_time)
+    return new_lengths
+
+
+def check_option_values(fraction_invalid: float, fraction_valid: float) -> None:
+    """Reference: polish.rs:277-287."""
+    if fraction_valid <= 0.0 or fraction_valid >= 1.0:
+        quit_with_error("--fraction_valid must be between 0 and 1 (exclusive)")
+    if fraction_invalid <= 0.0 or fraction_invalid >= 1.0:
+        quit_with_error("--fraction_invalid must be between 0 and 1 (exclusive)")
+    if fraction_invalid >= fraction_valid:
+        quit_with_error("--fraction_invalid must be less than --fraction_valid")
+
+
+def check_inputs_exist(assembly: str, sam: List[str]) -> None:
+    check_if_file_exists(assembly)
+    for s in sam:
+        check_if_file_exists(s)
+
+
+def starting_message(
+    debug, fraction_invalid, fraction_valid, max_errors, min_depth,
+    careful, assembly, sam,
+) -> None:
+    log.section_header("Starting Polypolish-TPU polish")
+    log.explanation(
+        "Polypolish is a tool for polishing genome assemblies with short "
+        "reads. Unlike other tools in this category, Polypolish uses SAM "
+        "files where each read has been aligned to all possible locations "
+        "(not just a single best location). This allows it to repair errors "
+        "in repeat regions that other alignment-based polishers cannot fix."
+    )
+    log.eprint(f"Polypolish-TPU version: v{__version__}")
+    log.eprint()
+    log.eprint("Input assembly:")
+    log.eprint(f"  {assembly}")
+    log.eprint()
+    log.eprint("Input short-read alignments:")
+    for s in sam:
+        log.eprint(f"  {s}")
+    log.eprint()
+    log.eprint("Settings:")
+    log.eprint(f"  --fraction_invalid {fmt_f64(fraction_invalid)}")
+    log.eprint(f"  --fraction_valid {fmt_f64(fraction_valid)}")
+    log.eprint(f"  --max_errors {max_errors}")
+    log.eprint(f"  --min_depth {min_depth}")
+    if careful:
+        log.eprint("  --careful")
+    if debug is not None:
+        log.eprint(f"  --debug {debug}")
+    else:
+        log.eprint("  not logging debugging information")
+    log.eprint()
+
+
+def finished_message(debug, new_lengths, start_time: float) -> None:
+    log.section_header("Finished!")
+    log.eprint("Polished sequence (to stdout):")
+    for new_name, new_length in new_lengths:
+        log.eprint(f"  {new_name}_polypolish ({log.thousands(new_length)} bp)")
+    log.eprint()
+    if debug is not None:
+        log.eprint(f"Per-base debugging info written to {debug}")
+    log.eprint(f"Time to run: {format_duration(time.monotonic() - start_time)}")
+    log.eprint()
+
+
+def load_assembly(assembly_filename: str):
+    """Reference: polish.rs:93-106."""
+    log.section_header("Loading assembly")
+    fasta = load_fasta(assembly_filename)
+    seq_names = []
+    for name, description, sequence in fasta:
+        log.eprint(f"{name} ({log.thousands(len(sequence))} bp)")
+        seq_names.append((name, description))
+    log.eprint()
+    votes = pack.new_votes_from_fasta(fasta)
+    return seq_names, votes
+
+
+def load_alignments(
+    max_errors: int,
+    careful: bool,
+    sam: List[str],
+    votes: Dict[str, pack.ContigVotes],
+    vocab: Vocab,
+    use_native: bool = True,
+) -> None:
+    """Reference: polish.rs:109-134."""
+    log.section_header("Loading alignments")
+    alignment_total = 0
+    used_total = 0
+    process = _select_sam_processor(use_native)
+    for s in sam:
+        alignment_count, used_count, read_count = process(
+            s, votes, vocab, max_errors, careful
+        )
+        log.eprint(
+            f"{s}: {log.thousands(alignment_count)} alignments from "
+            f"{log.thousands(read_count)} reads"
+        )
+        alignment_total += alignment_count
+        used_total += used_count
+    discarded_count = alignment_total - used_total
+    log.eprint()
+    if careful:
+        log.eprint(
+            "Filtering for high-quality end-to-end alignments from reads "
+            "with only one alignment:"
+        )
+    else:
+        log.eprint("Filtering for high-quality end-to-end alignments:")
+    log.eprint(f"  {log.thousands(used_total)} alignments kept")
+    log.eprint(f"  {log.thousands(discarded_count)} alignments discarded")
+    log.eprint()
+
+
+def _select_sam_processor(use_native: bool):
+    if use_native:
+        try:
+            from polypolish_tpu.native import loader
+
+            if loader.available():
+                return loader.process_sam_native
+        except Exception:
+            pass
+    return pack.process_sam
+
+
+def polish_sequences(
+    debug, fraction_invalid, fraction_valid, min_depth,
+    seq_names, votes, vocab, out: TextIO, backend: str,
+) -> List[Tuple[str, int]]:
+    """Reference: polish.rs:137-154."""
+    log.section_header("Polishing assembly sequences")
+    log.explanation(
+        "For each position in the assembly, Polypolish determines the read "
+        "depth at that position and collects all aligned bases. It then "
+        "polishes the assembly by looking for positions where the pileup "
+        "unambiguously supports a different sequence than the assembly."
+    )
+    debug_file = _create_debug_file(debug)
+    new_lengths = []
+    try:
+        for name, description in seq_names:
+            contig = votes[name]
+            new_length = polish_one_sequence(
+                fraction_invalid, fraction_valid, min_depth,
+                name, description, contig, vocab, out, backend, debug_file,
+            )
+            new_lengths.append((name, new_length))
+    finally:
+        if debug_file is not None:
+            debug_file.close()
+    return new_lengths
+
+
+def _create_debug_file(debug):
+    if debug is None:
+        return None
+    try:
+        f = open(debug, "wt")
+    except OSError:
+        quit_with_error(f'unable to create "{debug}"')
+    f.write("name\tpos\tbase\tdepth\tinvalid\tvalid\tpileup\tstatus\tnew_base\n")
+    return f
+
+
+def _orig_ids_for_seq(seq: str, vocab: Vocab) -> np.ndarray:
+    """Vocab id of each original assembly character."""
+    arr = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
+    table = np.full(256, -1, dtype=np.int32)
+    for ch, vid in (("-", 0), ("A", 1), ("C", 2), ("G", 3), ("T", 4), ("N", 5)):
+        table[ord(ch)] = vid
+    ids = table[arr]
+    missing = np.nonzero(ids < 0)[0]
+    for i in missing:  # rare: IUPAC/odd chars in the assembly
+        ids[i] = vocab.intern(seq[i])
+    return ids
+
+
+def polish_one_sequence(
+    fraction_invalid, fraction_valid, min_depth,
+    name, description, contig, vocab, out: TextIO, backend: str, debug_file,
+) -> int:
+    """Reference: polish.rs:157-193 (vectorised)."""
+    seq_len = contig.length
+    log.eprint(f"Polishing {name} ({log.thousands(seq_len)} bp):")
+
+    pos, vid, weight = contig.finalize()
+    counts, depth, sparse = count_votes(pos, vid, weight, seq_len, backend)
+    valid_thr, invalid_thr, low_depth = compute_thresholds(
+        depth, min_depth, fraction_valid, fraction_invalid
+    )
+    orig_id = _orig_ids_for_seq(contig.seq, vocab)
+
+    if backend == "host":
+        new_id, status = consensus_dense_numpy(
+            counts, valid_thr, invalid_thr, low_depth, orig_id
+        )
+    else:
+        import jax.numpy as jnp
+
+        new_id_j, status_j = consensus_dense_jax(
+            jnp.asarray(counts), jnp.asarray(valid_thr),
+            jnp.asarray(invalid_thr), jnp.asarray(low_depth),
+            jnp.asarray(orig_id),
+        )
+        new_id, status = np.array(new_id_j), np.array(status_j)
+
+    # Override positions that have sparse-tier votes with the full
+    # candidate-list consensus (host; rare).
+    sp_pos, sp_vid, sp_cnt = sparse
+    sparse_by_pos: Dict[int, List[Tuple[int, int]]] = {}
+    for p, v, c in zip(sp_pos.tolist(), sp_vid.tolist(), sp_cnt.tolist()):
+        sparse_by_pos.setdefault(p, []).append((v, c))
+    for p, extra in sparse_by_pos.items():
+        cands = [
+            (v, int(counts[v, p]))
+            for v in range(DENSE_V)
+            if v in (1, 2, 3, 4) or counts[v, p] > 0
+        ]
+        cands.extend(extra)
+        nid, st, _, _ = consensus_one_position(
+            cands, int(orig_id[p]), float(depth[p]),
+            min_depth, fraction_valid, fraction_invalid,
+        )
+        new_id[p] = nid
+        status[p] = st
+
+    if debug_file is not None:
+        _write_debug_lines(
+            debug_file, name, contig.seq, depth, invalid_thr, valid_thr,
+            counts, sparse_by_pos, status, new_id, vocab,
+        )
+
+    polished_seq = _apply_edits(contig.seq, status, new_id, vocab)
+    write_fasta_record(out, name, description, polished_seq)
+
+    total_depth = float(np.sum(depth))
+    zero_depth_count = int(np.count_nonzero(depth == 0.0))
+    changed_count = int(np.count_nonzero(status == ST_CHANGED))
+    print_polishing_info(seq_len, total_depth, zero_depth_count, changed_count)
+    return len(polished_seq)
+
+
+def _apply_edits(seq: str, status: np.ndarray, new_id: np.ndarray, vocab: Vocab) -> str:
+    """Polished sequence = original with CHANGED positions spliced in.
+
+    All keep statuses emit the original character; Changed positions emit
+    the adopted vocab string ('-' id 0 -> deletion).  Equivalent to the
+    reference's per-base string build + ``replace("-","")``
+    (polish.rs:170-188) but O(changes) instead of O(len).
+    """
+    changed = np.nonzero(status == ST_CHANGED)[0]
+    if changed.size == 0:
+        # The reference strips "-" from the whole polished string
+        # (polish.rs:188), which also removes literal '-' chars that were
+        # present in the assembly itself.
+        return seq.replace("-", "") if "-" in seq else seq
+    parts: List[str] = []
+    prev = 0
+    for p in changed.tolist():
+        parts.append(seq[prev:p])
+        vid = int(new_id[p])
+        if vid != 0:
+            parts.append(vocab.string(vid))
+        prev = p + 1
+    parts.append(seq[prev:])
+    polished = "".join(parts)
+    return polished.replace("-", "") if "-" in polished else polished
+
+
+def pileup_count_str(counts_col, sparse_items, vocab: Vocab) -> str:
+    """The debug "pileup" column: sorted comma-joined SEQxCOUNT entries
+    (reference: pileup.rs:137-148)."""
+    entries = []
+    for v in range(DENSE_V):
+        c = int(counts_col[v])
+        if c > 0:
+            entries.append(f"{vocab.string(v)}x{c}")
+    for v, c in sparse_items:
+        entries.append(f"{vocab.string(v)}x{c}")
+    entries.sort()
+    return ",".join(entries)
+
+
+def _write_debug_lines(
+    debug_file, name, seq, depth, invalid_thr, valid_thr, counts,
+    sparse_by_pos, status, new_id, vocab,
+) -> None:
+    """Per-base debug TSV (reference: polish.rs:230-266, pileup.rs:137-166).
+
+    Columns: name pos base depth invalid valid pileup status new_base,
+    with the pileup column as sorted comma-joined "SEQxCOUNT" entries.
+    """
+    for p in range(len(seq)):
+        count_str = pileup_count_str(
+            counts[:, p], sparse_by_pos.get(p, ()), vocab
+        )
+        st = int(status[p])
+        nid = int(new_id[p])
+        new_base = vocab.string(nid) if st == ST_CHANGED else seq[p]
+        debug_file.write(
+            f"{name}\t{p}\t{seq[p]}\t{depth[p]:.1f}\t{int(invalid_thr[p])}\t"
+            f"{int(valid_thr[p])}\t{count_str}\t{STATUS_STRINGS[st]}\t"
+            f"{new_base}\n"
+        )
+
+
+def print_polishing_info(
+    seq_len: int, total_depth: float, zero_depth_count: int, changed_count: int
+) -> None:
+    """Reference: polish.rs:206-227."""
+    seq_len_f = float(seq_len)
+    mean_depth = total_depth / seq_len_f
+    log.eprint(f"  mean read depth: {mean_depth:.1f}x")
+
+    have = "has" if zero_depth_count == 1 else "have"
+    covered = seq_len - zero_depth_count
+    coverage = 100.0 * covered / seq_len_f
+    log.eprint(
+        f"  {log.thousands(zero_depth_count)} bp {have} a depth of zero "
+        f"({coverage:.4f}% coverage)"
+    )
+
+    changed_percent = 100.0 * changed_count / seq_len_f
+    estimated_accuracy = 100.0 - changed_percent
+    estimated_qscore = qscore(estimated_accuracy)
+    positions = "position" if changed_count == 1 else "positions"
+    log.eprint(
+        f"  {log.thousands(changed_count)} {positions} changed "
+        f"({changed_percent:.4f}% of total positions)"
+    )
+    log.eprint(
+        f"  estimated pre-polishing sequence accuracy: "
+        f"{estimated_accuracy:.4f}% ({estimated_qscore})"
+    )
+    log.eprint()

@@ -1,0 +1,133 @@
+"""End-to-end polish tests: pipeline (all backends) vs the independent
+oracle, including byte-exact debug TSV comparison."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+import synth
+from oracle import oracle_polish
+
+from polypolish_tpu.pipeline.polish import polish
+
+
+def _parse_fasta_out(text: str):
+    records = {}
+    name = None
+    seq_parts = []
+    for line in text.splitlines():
+        if line.startswith(">"):
+            if name is not None:
+                records[name] = "".join(seq_parts)
+            name = line[1:].split()[0]
+            seq_parts = []
+        else:
+            seq_parts.append(line)
+    if name is not None:
+        records[name] = "".join(seq_parts)
+    return records
+
+
+def _run_pipeline(tmp_path, fasta, sam_texts, backend, tag, **kwargs):
+    asm = tmp_path / f"asm_{tag}.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam_paths = []
+    for i, text in enumerate(sam_texts):
+        p = tmp_path / f"aln_{tag}_{i}.sam"
+        p.write_text(text)
+        sam_paths.append(str(p))
+    debug_path = tmp_path / f"debug_{tag}.tsv"
+    out = io.StringIO()
+    polish(
+        str(debug_path),
+        kwargs.get("fraction_invalid", 0.2),
+        kwargs.get("fraction_valid", 0.5),
+        kwargs.get("max_errors", 10),
+        kwargs.get("min_depth", 5),
+        kwargs.get("careful", False),
+        str(asm),
+        sam_paths,
+        out=out,
+        backend=backend,
+        use_native=kwargs.get("use_native", False),
+    )
+    debug_lines = debug_path.read_text().splitlines()
+    assert debug_lines[0] == (
+        "name\tpos\tbase\tdepth\tinvalid\tvalid\tpileup\tstatus\tnew_base"
+    )
+    return _parse_fasta_out(out.getvalue()), debug_lines[1:], out.getvalue()
+
+
+@pytest.mark.parametrize("backend", ["host", "xla"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_polish_matches_oracle(tmp_path, backend, seed):
+    fasta, sam_text = synth.make_polish_case(seed=seed)
+    expected, expected_debug = oracle_polish(fasta, [sam_text])
+
+    got, got_debug, _ = _run_pipeline(
+        tmp_path, fasta, [sam_text], backend, f"{backend}_{seed}"
+    )
+    assert got == expected
+    assert got_debug == expected_debug
+
+
+def test_polish_actually_fixes_draft_errors(tmp_path):
+    fasta, sam_text = synth.make_polish_case(seed=3, n_reads=800, err=0.02)
+    got, _, _ = _run_pipeline(tmp_path, fasta, [sam_text], "host", "fix")
+    expected, _ = oracle_polish(fasta, [sam_text])
+    assert got == expected
+    # the polished sequence differs from the draft (errors were fixed)
+    assert got["contig_1"] != fasta[0][2]
+
+
+def test_polish_careful_mode(tmp_path):
+    fasta, sam_text = synth.make_polish_case(seed=4)
+    expected, expected_debug = oracle_polish(fasta, [sam_text], careful=True)
+    got, got_debug, _ = _run_pipeline(
+        tmp_path, fasta, [sam_text], "host", "careful", careful=True
+    )
+    assert got == expected
+    assert got_debug == expected_debug
+
+
+def test_polish_multiple_sam_files(tmp_path):
+    fasta, sam1 = synth.make_polish_case(seed=5, n_reads=200)
+    _, sam2 = synth.make_polish_case(seed=6, n_reads=200)
+    expected, expected_debug = oracle_polish(fasta, [sam1, sam2])
+    got, got_debug, _ = _run_pipeline(tmp_path, fasta, [sam1, sam2], "host", "multi")
+    assert got == expected
+    assert got_debug == expected_debug
+
+
+def test_polish_nondefault_parameters(tmp_path):
+    fasta, sam_text = synth.make_polish_case(seed=7)
+    kwargs = dict(
+        fraction_invalid=0.3, fraction_valid=0.6, max_errors=4, min_depth=3
+    )
+    expected, expected_debug = oracle_polish(
+        fasta, [sam_text], fraction_invalid=0.3, fraction_valid=0.6,
+        max_errors=4, min_depth=3,
+    )
+    got, got_debug, _ = _run_pipeline(
+        tmp_path, fasta, [sam_text], "host", "params", **kwargs
+    )
+    assert got == expected
+    assert got_debug == expected_debug
+
+
+def test_polish_output_header_format(tmp_path):
+    fasta, sam_text = synth.make_polish_case(seed=8, n_reads=60)
+    _, _, raw = _run_pipeline(tmp_path, fasta, [sam_text], "host", "hdr")
+    first = raw.splitlines()[0]
+    # ">{name} {description} polypolish" (polish.rs:196-202)
+    assert first == ">contig_1 synthetic draft polypolish"
+
+
+def test_backends_agree(tmp_path):
+    fasta, sam_text = synth.make_polish_case(seed=9)
+    host, host_debug, _ = _run_pipeline(tmp_path, fasta, [sam_text], "host", "bh")
+    xla, xla_debug, _ = _run_pipeline(tmp_path, fasta, [sam_text], "xla", "bx")
+    assert host == xla
+    assert host_debug == xla_debug

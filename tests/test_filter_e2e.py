@@ -1,0 +1,96 @@
+"""End-to-end filter tests vs the independent oracle: ZP:Z:fail tagging
+must match line-for-line."""
+
+import pytest
+
+import synth
+from oracle import oracle_filter
+
+from polypolish_tpu.errors import PolypolishError
+from polypolish_tpu.pipeline.filtering import filter_pairs
+
+
+def _run_filter(tmp_path, sam1, sam2, tag, **kwargs):
+    in1 = tmp_path / f"in1_{tag}.sam"
+    in2 = tmp_path / f"in2_{tag}.sam"
+    out1 = tmp_path / f"out1_{tag}.sam"
+    out2 = tmp_path / f"out2_{tag}.sam"
+    in1.write_text(sam1)
+    in2.write_text(sam2)
+    filter_pairs(str(in1), str(in2), str(out1), str(out2), **kwargs)
+    return out1.read_text(), out2.read_text()
+
+
+def _expected_output(sam_text, verdicts):
+    out_lines = []
+    idx = 0
+    for line in sam_text.splitlines():
+        if line.startswith("@"):
+            out_lines.append(line)
+            continue
+        flags = int(line.split("\t")[1])
+        if flags & 4:
+            out_lines.append(line)
+            continue
+        if verdicts[idx]:
+            out_lines.append(line)
+        else:
+            out_lines.append(line + "\tZP:Z:fail")
+        idx += 1
+    return "\n".join(out_lines) + "\n"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_filter_matches_oracle(tmp_path, seed):
+    sam1, sam2 = synth.make_filter_case(seed=seed)
+    v1, v2, _, _, _ = oracle_filter(sam1, sam2)
+    got1, got2 = _run_filter(tmp_path, sam1, sam2, f"s{seed}")
+    assert got1 == _expected_output(sam1, v1)
+    assert got2 == _expected_output(sam2, v2)
+
+
+def test_filter_explicit_orientation(tmp_path):
+    sam1, sam2 = synth.make_filter_case(seed=3)
+    v1, v2, _, _, _ = oracle_filter(sam1, sam2, orientation="fr")
+    got1, got2 = _run_filter(tmp_path, sam1, sam2, "fr", orientation="fr")
+    assert got1 == _expected_output(sam1, v1)
+    assert got2 == _expected_output(sam2, v2)
+
+
+def test_filter_nondefault_percentiles(tmp_path):
+    sam1, sam2 = synth.make_filter_case(seed=4)
+    v1, v2, _, _, _ = oracle_filter(sam1, sam2, low_pct=5.0, high_pct=95.0)
+    got1, got2 = _run_filter(tmp_path, sam1, sam2, "p", low=5.0, high=95.0)
+    assert got1 == _expected_output(sam1, v1)
+    assert got2 == _expected_output(sam2, v2)
+
+
+def test_filter_input_validation(tmp_path):
+    sam1, sam2 = synth.make_filter_case(seed=5, n_pairs=10)
+    in1 = tmp_path / "a.sam"
+    in2 = tmp_path / "b.sam"
+    in1.write_text(sam1)
+    in2.write_text(sam2)
+    with pytest.raises(PolypolishError, match="unique values"):
+        filter_pairs(str(in1), str(in1), str(tmp_path / "o1"), str(tmp_path / "o2"))
+    with pytest.raises(PolypolishError, match="--low"):
+        filter_pairs(
+            str(in1), str(in2), str(tmp_path / "o1"), str(tmp_path / "o2"), low=60.0
+        )
+    with pytest.raises(PolypolishError, match="--high"):
+        filter_pairs(
+            str(in1), str(in2), str(tmp_path / "o1"), str(tmp_path / "o2"), high=40.0
+        )
+
+
+def test_filter_bad_orientation_string_fails(tmp_path):
+    sam1, sam2 = synth.make_filter_case(seed=6, n_pairs=20)
+    in1 = tmp_path / "a.sam"
+    in2 = tmp_path / "b.sam"
+    in1.write_text(sam1)
+    in2.write_text(sam2)
+    with pytest.raises(PolypolishError, match="no read pairs available"):
+        filter_pairs(
+            str(in1), str(in2), str(tmp_path / "o1"), str(tmp_path / "o2"),
+            orientation="xx",
+        )
