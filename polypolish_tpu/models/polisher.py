@@ -1,0 +1,113 @@
+"""The flagship device "model": vote accumulation + consensus as one
+jittable forward step.
+
+This is the whole device-side compute graph of the polisher: packed
+event chunks go in, the (8, P) count tensor plus per-position polishing
+decisions come out.  On TPU the vote half runs as the Pallas one-hot-
+matmul kernel (ops/vote_pallas.py); elsewhere (CPU tests) it uses the
+kernel's interpreter mode or the XLA scatter fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polypolish_tpu.ops.consensus import consensus_dense_core
+from polypolish_tpu.ops.vote_pallas import (
+    E_LANE,
+    E_SUB,
+    TILE_P,
+    _vote_pallas_call,
+    prepare_chunks,
+)
+from polypolish_tpu.vocab import DENSE_V
+
+
+class PolisherModel:
+    """Jittable forward step over a fixed contig length.
+
+    forward(chunk_pos, chunk_vocab, chunk_tile,
+            valid_thr, invalid_thr, low_depth, orig_id)
+      -> (counts (8, P), new_id (P,), status (P,))
+    """
+
+    def __init__(
+        self,
+        num_positions: int,
+        use_pallas: bool = True,
+        interpret: Optional[bool] = None,
+    ) -> None:
+        self.num_positions = num_positions
+        self.n_tiles = max(1, -(-num_positions // TILE_P))
+        self.use_pallas = use_pallas
+        if interpret is None:
+            try:
+                interpret = jax.default_backend() not in ("tpu", "axon")
+            except Exception:
+                interpret = True
+        self.interpret = interpret
+        self.forward_jit = jax.jit(self.forward)
+
+    def forward(
+        self, chunk_pos, chunk_vocab, chunk_tile,
+        valid_thr, invalid_thr, low_depth, orig_id,
+    ):
+        if self.use_pallas:
+            counts = _vote_pallas_call(
+                chunk_pos, chunk_vocab, chunk_tile,
+                n_tiles=self.n_tiles, interpret=self.interpret,
+            )[:, : self.num_positions]
+        else:
+            pos = chunk_pos.reshape(-1)
+            voc = chunk_vocab.reshape(-1)
+            tile = jnp.repeat(chunk_tile, E_SUB * E_LANE)
+            gpos = jnp.where(
+                pos >= 0, tile * TILE_P + pos, self.num_positions
+            ).astype(jnp.int32)
+            counts = (
+                jnp.zeros((DENSE_V, self.num_positions), jnp.int32)
+                .at[voc, gpos]
+                .add(1, mode="drop")
+            )
+        new_id, status = consensus_dense_core(
+            counts, valid_thr, invalid_thr, low_depth, orig_id
+        )
+        return counts, new_id, status
+
+    def pack(self, pos: np.ndarray, vocab: np.ndarray):
+        """Host packing: event arrays -> device chunk tensors."""
+        chunk_pos, chunk_vocab, chunk_tile, n_tiles = prepare_chunks(
+            pos, vocab, self.num_positions
+        )
+        assert n_tiles == self.n_tiles
+        return (
+            jnp.asarray(chunk_pos),
+            jnp.asarray(chunk_vocab),
+            jnp.asarray(chunk_tile),
+        )
+
+
+def example_inputs(
+    num_positions: int = 4096, n_events: int = 100_000, seed: int = 0
+):
+    """Realistic small example batch for compile checks and benches."""
+    rng = np.random.default_rng(seed)
+    model = PolisherModel(num_positions)
+    pos = rng.integers(0, num_positions, size=n_events).astype(np.int64)
+    vocab = rng.integers(0, DENSE_V, size=n_events).astype(np.int32)
+    chunk_pos, chunk_vocab, chunk_tile = model.pack(pos, vocab)
+    depth = np.bincount(pos, minlength=num_positions).astype(np.float64)
+    valid_thr = np.maximum(5, (depth * 0.5).round()).astype(np.int32)
+    invalid_thr = (depth * 0.2).round().astype(np.int32)
+    low_depth = depth < 5
+    orig_id = rng.integers(1, 5, size=num_positions).astype(np.int32)
+    args = (
+        chunk_pos, chunk_vocab, chunk_tile,
+        jnp.asarray(valid_thr), jnp.asarray(invalid_thr),
+        jnp.asarray(low_depth), jnp.asarray(orig_id),
+    )
+    return model, args

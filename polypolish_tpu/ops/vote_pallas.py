@@ -7,11 +7,13 @@ pileup.rs:189-200) with a TPU-native design:
      position tile (TILE_P positions per tile) and padded to fixed-size
      chunks of E_B events (pad events use position -1, which one-hots to
      all-zero).  Every tile gets at least one chunk so every output
-     block is visited and initialised.
-  2. Device: grid over chunks.  Each chunk builds two one-hot matrices
-     — vocab one-hot A:(8, E_B) and local-position one-hot
-     B:(E_B, TILE_P) — and accumulates A @ B into the (8, TILE_P)
-     output tile **on the MXU**.  Scatter-add becomes matmul: exactly
+     block is visited and initialised.  Each chunk is laid out as an
+     (8, 128) int32 tile — the native TPU tile shape.
+  2. Device: grid over chunks.  Each chunk row (128 events) builds two
+     one-hot matrices — vocab one-hot A:(8, 128) and local-position
+     one-hot B:(128, TILE_P) — and accumulates A @ B into the
+     (8, TILE_P) output tile **on the MXU** (K=128 contraction, the
+     MXU's native depth).  Scatter-add becomes matmul: exactly
      associative integer arithmetic, so results are bitwise identical
      across chunk order, tiling, and device meshes (psum-safe).
 
@@ -36,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 from polypolish_tpu.vocab import DENSE_V
 
 TILE_P = 512  # positions per output tile (lane-dim multiple of 128)
-E_B = 256  # events per chunk (MXU contraction dim, multiple of 8)
+E_SUB = 8  # event-tile sublanes
+E_LANE = 128  # event-tile lanes (= MXU contraction depth)
+E_B = E_SUB * E_LANE  # events per chunk (1024)
 
 
 def _vote_kernel(tiles_ref, pos_ref, vocab_ref, out_ref):
@@ -48,16 +52,17 @@ def _vote_kernel(tiles_ref, pos_ref, vocab_ref, out_ref):
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    pos = pos_ref[0, :]  # (E_B,) int32, -1 = padding
-    voc = vocab_ref[0, :]  # (E_B,) int32
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (DENSE_V, E_LANE), 0)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (E_LANE, TILE_P), 1)
 
-    vrow = jax.lax.broadcasted_iota(jnp.int32, (DENSE_V, E_B), 0)
-    a = (vrow == voc[None, :]).astype(jnp.float32)  # (8, E_B) one-hot
-    pcol = jax.lax.broadcasted_iota(jnp.int32, (E_B, TILE_P), 1)
-    b = (pcol == pos[:, None]).astype(jnp.float32)  # (E_B, TILE_P) one-hot
-
-    contrib = jnp.dot(a, b, preferred_element_type=jnp.float32)
-    out_ref[:, :] += contrib.astype(jnp.int32)
+    acc = jnp.zeros((DENSE_V, TILE_P), jnp.float32)
+    for sub in range(E_SUB):  # static unroll: 8 MXU matmuls per chunk
+        voc = vocab_ref[sub, :]  # (128,) int32
+        pos = pos_ref[sub, :]  # (128,) int32, -1 = padding
+        a = (vrow == voc[None, :]).astype(jnp.float32)  # (8, 128)
+        b = (pcol == pos[:, None]).astype(jnp.float32)  # (128, TILE_P)
+        acc = acc + jnp.dot(a, b, preferred_element_type=jnp.float32)
+    out_ref[:, :] += acc.astype(jnp.int32)
 
 
 def prepare_chunks(
@@ -65,7 +70,7 @@ def prepare_chunks(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Bucket dense-tier events by position tile and pad to E_B chunks.
 
-    Returns (chunk_pos_local (C, E_B) int32, chunk_vocab (C, E_B) int32,
+    Returns (chunk_pos (C*8, 128) int32, chunk_vocab (C*8, 128) int32,
     chunk_tile (C,) int32, n_tiles).
     """
     mask = (vocab >= 0) & (vocab < DENSE_V) & (pos >= 0) & (pos < num_positions)
@@ -83,42 +88,45 @@ def prepare_chunks(
     chunks_per_tile = np.maximum(1, -(-per_tile // E_B))
     n_chunks = int(chunks_per_tile.sum())
 
-    chunk_pos = np.full((n_chunks, E_B), -1, dtype=np.int32)
-    chunk_vocab = np.zeros((n_chunks, E_B), dtype=np.int32)
-    chunk_tile = np.repeat(
-        np.arange(n_tiles, dtype=np.int32), chunks_per_tile
-    )
+    flat_pos = np.full(n_chunks * E_B, -1, dtype=np.int32)
+    flat_vocab = np.zeros(n_chunks * E_B, dtype=np.int32)
+    chunk_tile = np.repeat(np.arange(n_tiles, dtype=np.int32), chunks_per_tile)
 
     # slot offset of each tile's first chunk, in flattened event slots
     chunk_start = np.concatenate(([0], np.cumsum(chunks_per_tile)))[:-1]
     tile_event_start = np.concatenate(([0], np.cumsum(per_tile)))[:-1]
-    # destination slot for each (sorted) event
     within_tile = np.arange(pos.size) - tile_event_start[tile]
     dst = chunk_start[tile] * E_B + within_tile
-    flat_pos = chunk_pos.reshape(-1)
-    flat_vocab = chunk_vocab.reshape(-1)
     flat_pos[dst] = (pos - tile * TILE_P).astype(np.int32)
     flat_vocab[dst] = vocab
+    chunk_pos = flat_pos.reshape(n_chunks * E_SUB, E_LANE)
+    chunk_vocab = flat_vocab.reshape(n_chunks * E_SUB, E_LANE)
     return chunk_pos, chunk_vocab, chunk_tile, n_tiles
 
 
 def _vote_pallas_call(chunk_pos, chunk_vocab, chunk_tile, n_tiles, interpret):
-    n_chunks = chunk_pos.shape[0]
+    n_chunks = chunk_pos.shape[0] // E_SUB
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, E_B), lambda c, tiles: (c, 0)),
-            pl.BlockSpec((1, E_B), lambda c, tiles: (c, 0)),
+            pl.BlockSpec((E_SUB, E_LANE), lambda c, tiles: (c, 0)),
+            pl.BlockSpec((E_SUB, E_LANE), lambda c, tiles: (c, 0)),
         ],
         out_specs=pl.BlockSpec(
             (DENSE_V, TILE_P), lambda c, tiles: (0, tiles[c])
         ),
     )
+    flops = 2 * n_chunks * E_SUB * DENSE_V * E_LANE * TILE_P
     return pl.pallas_call(
         _vote_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((DENSE_V, n_tiles * TILE_P), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * chunk_pos.size * 4 + n_tiles * TILE_P * DENSE_V * 4,
+            transcendentals=0,
+        ),
         interpret=interpret,
     )(chunk_tile, chunk_pos, chunk_vocab)
 

@@ -1,0 +1,173 @@
+"""SPMD vote + consensus over a ('data', 'pos') mesh via shard_map.
+
+Design (no reference counterpart — the reference is a serial binary):
+
+- The host buckets vote events by position shard (events are position-
+  local, so routing is a stable sort — no halo exchange is needed at
+  all, unlike stencil workloads).
+- Each device scatter-adds its (data-batch x position-range) events
+  into a local (8, P_shard) int32 count tile.
+- Counts are merged with an exact integer ``psum`` over the 'data' axis
+  (associative -> bitwise identical to the single-device result).
+- The consensus decision runs elementwise on each position shard, fully
+  parallel, producing position-sharded (new_id, status).
+
+Thresholds stay host-computed f64 (see ops/consensus.py) and are fed in
+position-sharded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 public API
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+from polypolish_tpu.ops.consensus import consensus_dense_core
+from polypolish_tpu.vocab import DENSE_V
+
+
+def bucket_events_for_mesh(
+    pos: np.ndarray,
+    vocab: np.ndarray,
+    num_positions: int,
+    n_data: int,
+    n_pos: int,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Route dense-tier events to (data, pos) shards.
+
+    Returns (ev_pos (n_data, n_pos, E) int32 with local positions and
+    pad = p_shard, ev_vocab likewise, p_shard).  Events are split
+    round-robin over the data axis and by position range over the pos
+    axis; padding events use local position == p_shard which the
+    scatter drops.
+    """
+    mask = (vocab >= 0) & (vocab < DENSE_V) & (pos >= 0) & (pos < num_positions)
+    pos = np.asarray(pos[mask], dtype=np.int64)
+    vocab = np.asarray(vocab[mask], dtype=np.int32)
+
+    p_shard = -(-num_positions // n_pos)
+    p_shard = max(8, p_shard)
+    shard_of = pos // p_shard
+    data_of = np.arange(pos.size, dtype=np.int64) % n_data
+
+    # per (data, pos-shard) bucket sizes -> common padded length E
+    bucket = data_of * n_pos + shard_of
+    counts = np.bincount(bucket, minlength=n_data * n_pos)
+    e_max = max(8, int(counts.max()) if counts.size else 8)
+
+    ev_pos = np.full((n_data, n_pos, e_max), p_shard, dtype=np.int32)
+    ev_vocab = np.zeros((n_data, n_pos, e_max), dtype=np.int32)
+    order = np.argsort(bucket, kind="stable")
+    sorted_bucket = bucket[order]
+    start = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    within = np.arange(pos.size) - start[sorted_bucket]
+    flat_idx = sorted_bucket * e_max + within
+    ev_pos.reshape(-1)[flat_idx] = (pos[order] - shard_of[order] * p_shard).astype(
+        np.int32
+    )
+    ev_vocab.reshape(-1)[flat_idx] = vocab[order]
+    return ev_pos, ev_vocab, p_shard
+
+
+def _local_counts(ev_pos, ev_vocab, p_shard: int):
+    """Scatter local events into an (8, p_shard) tile; pad events carry
+    local position == p_shard and fall off the end (mode='drop')."""
+    pos = ev_pos.reshape(-1)
+    voc = ev_vocab.reshape(-1)
+    counts = jnp.zeros((DENSE_V, p_shard), jnp.int32)
+    return counts.at[voc, pos].add(1, mode="drop")
+
+
+def make_sharded_polish_step(mesh: Mesh, p_shard: int):
+    """Build the jitted SPMD step for a given mesh and position-shard
+    size.  Signature of the returned function:
+
+      step(ev_pos (D,S,E), ev_vocab (D,S,E),
+           valid_thr (P,), invalid_thr (P,), low_depth (P,), orig_id (P,))
+        -> (counts (8,P) int32, new_id (P,) int32, status (P,) int32)
+
+    where P = S * p_shard.  Counts/new_id/status are position-sharded;
+    the integer psum over 'data' makes them bitwise equal to the
+    single-device result.
+    """
+
+    def local_step(ev_pos, ev_vocab, valid_thr, invalid_thr, low_depth, orig_id):
+        counts = _local_counts(ev_pos, ev_vocab, p_shard)
+        counts = jax.lax.psum(counts, "data")
+        new_id, status = consensus_dense_core(
+            counts, valid_thr, invalid_thr, low_depth, orig_id
+        )
+        return counts, new_id, status
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("data", "pos", None),
+            P("data", "pos", None),
+            P("pos"),
+            P("pos"),
+            P("pos"),
+            P("pos"),
+        ),
+        out_specs=(P(None, "pos"), P("pos"), P("pos")),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_vote_consensus(
+    mesh: Mesh,
+    pos: np.ndarray,
+    vocab: np.ndarray,
+    num_positions: int,
+    valid_thr: np.ndarray,
+    invalid_thr: np.ndarray,
+    low_depth: np.ndarray,
+    orig_id: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """End-to-end sharded vote+consensus for one contig.
+
+    Host-side convenience wrapper: buckets events, pads the position
+    axis to the shard grid, runs the SPMD step, and trims the outputs
+    back to num_positions.  Returns (counts, new_id, status) as numpy.
+    """
+    n_data, n_pos = mesh.devices.shape
+    ev_pos, ev_vocab, p_shard = bucket_events_for_mesh(
+        pos, vocab, num_positions, n_data, n_pos
+    )
+    p_total = p_shard * n_pos
+
+    def pad_p(arr, fill):
+        out = np.full(p_total, fill, dtype=arr.dtype)
+        out[: arr.shape[0]] = arr
+        return out
+
+    step = make_sharded_polish_step(mesh, p_shard)
+    counts, new_id, status = step(
+        jnp.asarray(ev_pos),
+        jnp.asarray(ev_vocab),
+        jnp.asarray(pad_p(np.asarray(valid_thr, np.int32), 2**31 - 1)),
+        jnp.asarray(pad_p(np.asarray(invalid_thr, np.int32), 2**31 - 1)),
+        jnp.asarray(pad_p(np.asarray(low_depth, bool), True)),
+        jnp.asarray(pad_p(np.asarray(orig_id, np.int32), 0)),
+    )
+    return (
+        np.asarray(counts)[:, :num_positions],
+        np.asarray(new_id)[:num_positions],
+        np.asarray(status)[:num_positions],
+    )

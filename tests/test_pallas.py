@@ -1,0 +1,70 @@
+"""Pallas vote kernel: must agree exactly with the host bincount path.
+
+Runs in interpreter mode on CPU; on a real TPU the same kernel is
+compiled (see bench.py).
+"""
+
+import numpy as np
+import pytest
+
+from polypolish_tpu.ops.vote import dense_counts_host
+from polypolish_tpu.ops.vote_pallas import (
+    E_B,
+    E_LANE,
+    E_SUB,
+    TILE_P,
+    dense_counts_pallas,
+    prepare_chunks,
+)
+from polypolish_tpu.vocab import DENSE_V
+
+
+def _random_events(rng, n_events, num_positions, num_vocab=12):
+    pos = rng.integers(0, num_positions, size=n_events).astype(np.int64)
+    vocab = rng.integers(0, num_vocab, size=n_events).astype(np.int32)
+    return pos, vocab
+
+
+def test_prepare_chunks_structure():
+    rng = np.random.default_rng(0)
+    pos, vocab = _random_events(rng, 3000, 1200)
+    chunk_pos, chunk_vocab, chunk_tile, n_tiles = prepare_chunks(pos, vocab, 1200)
+    assert n_tiles == -(-1200 // TILE_P)
+    assert chunk_pos.shape == chunk_vocab.shape
+    assert chunk_pos.shape[1] == E_LANE
+    assert chunk_tile.shape[0] * E_SUB == chunk_pos.shape[0]
+    # chunk_tile must be non-decreasing (consecutive revisits)
+    assert (np.diff(chunk_tile) >= 0).all()
+    # every tile appears at least once
+    assert set(chunk_tile.tolist()) == set(range(n_tiles))
+    # pad entries have pos -1; real entries land inside their tile
+    n_dense = int(((vocab < DENSE_V) & (vocab >= 0)).sum())
+    assert int((chunk_pos >= 0).sum()) == n_dense
+    real = chunk_pos >= 0
+    assert chunk_pos[real].max() < TILE_P
+
+
+@pytest.mark.parametrize("seed,n_events,num_positions", [
+    (0, 5000, 700),
+    (1, 20000, 2048),
+    (2, 100, 3000),   # sparse coverage: many empty tiles
+    (3, 0, 600),      # no events at all
+    (4, 4096, 512),   # exactly one tile
+])
+def test_pallas_matches_host(seed, n_events, num_positions):
+    rng = np.random.default_rng(seed)
+    pos, vocab = _random_events(rng, n_events, num_positions)
+    host = dense_counts_host(pos, vocab, num_positions)
+    pallas = np.asarray(
+        dense_counts_pallas(pos, vocab, num_positions, interpret=True)
+    )
+    np.testing.assert_array_equal(host, pallas)
+
+
+def test_pallas_heavy_single_position():
+    # one position receiving thousands of votes (deep pileup)
+    pos = np.zeros(5000, dtype=np.int64)
+    vocab = np.full(5000, 2, dtype=np.int32)
+    out = np.asarray(dense_counts_pallas(pos, vocab, 100, interpret=True))
+    assert out[2, 0] == 5000
+    assert out.sum() == 5000
