@@ -1,0 +1,152 @@
+"""ctypes binding + on-demand build for the native SAM packer.
+
+Builds sam_packer.cc with g++ -O3 into a cached shared library next to
+this file; falls back (caller-side) to the pure-Python packer when the
+toolchain or build is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from polypolish_tpu.errors import quit_with_error
+from polypolish_tpu.vocab import Vocab
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "sam_packer.cc")
+_LIB = os.path.join(_HERE, "libsampacker.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+class _PPResultView(ctypes.Structure):
+    _fields_ = [
+        ("contig_id", ctypes.POINTER(ctypes.c_int32)),
+        ("pos", ctypes.POINTER(ctypes.c_int32)),
+        ("vocab", ctypes.POINTER(ctypes.c_int32)),
+        ("weight", ctypes.POINTER(ctypes.c_double)),
+        ("n_events", ctypes.c_int64),
+        ("new_vocab", ctypes.c_char_p),
+        ("new_vocab_len", ctypes.c_int64),
+        ("n_new_vocab", ctypes.c_int64),
+        ("alignment_count", ctypes.c_int64),
+        ("used_count", ctypes.c_int64),
+        ("read_count", ctypes.c_int64),
+        ("status", ctypes.c_int),
+        ("error", ctypes.c_char_p),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
+def _build() -> bool:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
+            return True
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            _SRC, "-o", _LIB + ".tmp",
+        ]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except Exception:
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _build():
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(_LIB)
+        lib.pp_process_sam.restype = ctypes.POINTER(_PPResultView)
+        lib.pp_process_sam.argtypes = [
+            ctypes.c_char_p,                    # filename
+            ctypes.c_char_p,                    # contig names '\n'-joined
+            ctypes.POINTER(ctypes.c_int64),     # contig lengths
+            ctypes.c_int64,                     # n_contigs
+            ctypes.c_char_p,                    # vocab '\n'-joined
+            ctypes.c_int64,                     # n_vocab
+            ctypes.c_int64,                     # max_errors
+            ctypes.c_int32,                     # careful
+        ]
+        lib.pp_free_result.argtypes = [ctypes.POINTER(_PPResultView)]
+        lib.pp_free_result.restype = None
+        _lib = lib
+        return _lib
+
+
+def _transfer_safe(s: str) -> str:
+    # reserved vocab placeholders contain NUL which C strings can't carry
+    return s.replace("\x00", "\x01")
+
+
+def process_sam_native(
+    filename, votes: Dict, vocab: Vocab, max_errors: int, careful: bool
+) -> Tuple[int, int, int]:
+    """Native counterpart of ops.pack.process_sam (same contract)."""
+    lib = load_library()
+    assert lib is not None
+
+    contig_names = list(votes.keys())
+    names_blob = "\n".join(contig_names).encode("utf-8")
+    lens = np.asarray(
+        [votes[n].length for n in contig_names], dtype=np.int64
+    )
+    vocab_blob = "\n".join(
+        _transfer_safe(s) for s in vocab.strings
+    ).encode("latin-1")
+
+    view = lib.pp_process_sam(
+        os.fsencode(filename),
+        names_blob,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(contig_names),
+        vocab_blob,
+        len(vocab.strings),
+        max_errors,
+        1 if careful else 0,
+    )
+    try:
+        v = view.contents
+        if v.status != 0:
+            quit_with_error(v.error.decode("utf-8", errors="replace"))
+
+        # merge newly interned vocab strings (ids must line up)
+        if v.n_new_vocab > 0:
+            blob = ctypes.string_at(
+                ctypes.cast(v.new_vocab, ctypes.c_void_p), v.new_vocab_len
+            ).decode("latin-1")
+            for s in blob.split("\n")[: v.n_new_vocab]:
+                vid = vocab.intern(s)
+                assert vid == len(vocab.strings) - 1 or vocab.string(vid) == s
+
+        n = v.n_events
+        if n > 0:
+            contig_id = np.ctypeslib.as_array(v.contig_id, shape=(n,)).copy()
+            pos = np.ctypeslib.as_array(v.pos, shape=(n,)).copy()
+            vid = np.ctypeslib.as_array(v.vocab, shape=(n,)).copy()
+            weight = np.ctypeslib.as_array(v.weight, shape=(n,)).copy()
+            for ci, name in enumerate(contig_names):
+                mask = contig_id == ci
+                if mask.any():
+                    votes[name].extend_events(
+                        pos[mask].astype(np.int64), vid[mask], weight[mask]
+                    )
+        return int(v.alignment_count), int(v.used_count), int(v.read_count)
+    finally:
+        lib.pp_free_result(view)

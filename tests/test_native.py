@@ -1,0 +1,115 @@
+"""Native C++ SAM packer must produce the exact same event streams,
+stats, and end-to-end output as the pure-Python packer."""
+
+import numpy as np
+import pytest
+
+import synth
+from oracle import oracle_polish
+
+from polypolish_tpu.errors import PolypolishError
+from polypolish_tpu.native import loader
+from polypolish_tpu.ops import pack
+from polypolish_tpu.io.fasta import load_fasta
+from polypolish_tpu.vocab import Vocab
+
+native_available = loader.available()
+pytestmark = pytest.mark.skipif(
+    not native_available, reason="native packer unavailable"
+)
+
+
+def _run_both(tmp_path, fasta, sam_text, max_errors=10, careful=False):
+    asm = tmp_path / "asm.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "aln.sam"
+    sam.write_text(sam_text)
+
+    fa = load_fasta(asm)
+    results = []
+    for process in (pack.process_sam, loader.process_sam_native):
+        votes = pack.new_votes_from_fasta(fa)
+        vocab = Vocab()
+        stats = process(str(sam), votes, vocab, max_errors, careful)
+        results.append((votes, vocab, stats))
+    return results
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("careful", [False, True])
+def test_native_matches_python(tmp_path, seed, careful):
+    fasta, sam_text = synth.make_polish_case(seed=seed)
+    (py_votes, py_vocab, py_stats), (nat_votes, nat_vocab, nat_stats) = _run_both(
+        tmp_path, fasta, sam_text, careful=careful
+    )
+    assert py_stats == nat_stats
+    assert py_vocab.strings == nat_vocab.strings
+    for name in py_votes:
+        p_pos, p_vid, p_w = py_votes[name].finalize()
+        n_pos, n_vid, n_w = nat_votes[name].finalize()
+        np.testing.assert_array_equal(p_pos, n_pos)
+        np.testing.assert_array_equal(p_vid, n_vid)
+        # weights must be BITWISE equal (f64 1/k divisions)
+        np.testing.assert_array_equal(p_w, n_w)
+
+
+def test_native_end_to_end(tmp_path):
+    import io
+
+    from polypolish_tpu.pipeline.polish import polish
+
+    fasta, sam_text = synth.make_polish_case(seed=5)
+    asm = tmp_path / "asm.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "aln.sam"
+    sam.write_text(sam_text)
+
+    expected, expected_debug = oracle_polish(fasta, [sam_text])
+    debug_path = tmp_path / "debug.tsv"
+    out = io.StringIO()
+    polish(
+        str(debug_path), 0.2, 0.5, 10, 5, False, str(asm), [str(sam)],
+        out=out, backend="host", use_native=True,
+    )
+    got_debug = debug_path.read_text().splitlines()[1:]
+    assert got_debug == expected_debug
+    lines = out.getvalue().splitlines()
+    assert lines[1] == expected["contig_1"]
+
+
+def test_native_error_messages(tmp_path):
+    fasta, _ = synth.make_polish_case(seed=0, n_reads=5)
+    asm = tmp_path / "asm.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    fa = load_fasta(asm)
+
+    # missing NM tag
+    sam = tmp_path / "bad.sam"
+    sam.write_text("r\t0\tcontig_1\t10\t60\t4M\t*\t0\t0\tACTG\tKKKK\n")
+    votes = pack.new_votes_from_fasta(fa)
+    with pytest.raises(PolypolishError, match="missing NM tag"):
+        loader.process_sam_native(str(sam), votes, Vocab(), 10, False)
+
+    # invalid CIGAR
+    sam.write_text("r\t0\tcontig_1\t10\t60\t4Q\t*\t0\t0\tACTG\tKKKK\tNM:i:0\n")
+    votes = pack.new_votes_from_fasta(fa)
+    with pytest.raises(PolypolishError, match="invalid CIGAR"):
+        loader.process_sam_native(str(sam), votes, Vocab(), 10, False)
+
+    # unknown contig
+    sam.write_text("r\t0\tnope\t10\t60\t4M\t*\t0\t0\tACTG\tKKKK\tNM:i:0\n")
+    votes = pack.new_votes_from_fasta(fa)
+    with pytest.raises(PolypolishError, match="not in assembly"):
+        loader.process_sam_native(str(sam), votes, Vocab(), 10, False)
+
+    # no alignments
+    sam.write_text("@HD\tVN:1.6\n")
+    votes = pack.new_votes_from_fasta(fa)
+    with pytest.raises(PolypolishError, match="no alignments"):
+        loader.process_sam_native(str(sam), votes, Vocab(), 10, False)
+
+    # too few columns
+    sam.write_text("garbage line\n")
+    votes = pack.new_votes_from_fasta(fa)
+    with pytest.raises(PolypolishError, match="too few columns"):
+        loader.process_sam_native(str(sam), votes, Vocab(), 10, False)
