@@ -4,18 +4,18 @@ Replaces the reference's per-base scatter loop (pileup.rs:56-65 /
 pileup.rs:189-200) with a TPU-native design:
 
   1. Host: dense-tier events (position, vocab_id) are bucketed by
-     position tile (TILE_P positions per tile) and padded to fixed-size
-     chunks of E_B events (pad events use position -1, which one-hots to
-     all-zero).  Every tile gets at least one chunk so every output
-     block is visited and initialised.  Each chunk is laid out as an
-     (8, 128) int32 tile — the native TPU tile shape.
+     position tile (tile_p positions per tile) and padded to fixed-size
+     chunks of e_sub*128 events (pad events use position -1, which
+     one-hots to all-zero).  Every tile gets at least one chunk so every
+     output block is visited and initialised.  Each chunk is laid out as
+     an (e_sub, 128) int32 tile — 128 lanes = the MXU contraction depth.
   2. Device: grid over chunks.  Each chunk row (128 events) builds two
      one-hot matrices — vocab one-hot A:(8, 128) and local-position
-     one-hot B:(128, TILE_P) — and accumulates A @ B into the
-     (8, TILE_P) output tile **on the MXU** (K=128 contraction, the
-     MXU's native depth).  Scatter-add becomes matmul: exactly
-     associative integer arithmetic, so results are bitwise identical
-     across chunk order, tiling, and device meshes (psum-safe).
+     one-hot B:(128, tile_p) — and accumulates A @ B into the
+     (8, tile_p) output tile **on the MXU**.  Scatter-add becomes
+     matmul: exactly associative integer arithmetic, so results are
+     bitwise identical across chunk order, tiling, and device meshes
+     (psum-safe).
 
 The chunk->tile map rides in scalar-prefetch memory so consecutive
 chunks of one tile revisit the same output block without HBM traffic
@@ -23,10 +23,15 @@ chunks of one tile revisit the same output block without HBM traffic
 
 Counts are exact: per-chunk partial sums are < 2^24 so the f32 MXU path
 is integer-exact; accumulation into the int32 output tile is exact.
+
+Tuning knobs (see bench.py --sweep): tile_p trades per-event MXU/VPU
+work (8*tile_p MACs per event) against padding waste on shallow
+pileups; e_sub trades grid-step overhead against padding waste.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -37,94 +42,108 @@ from jax.experimental.pallas import tpu as pltpu
 
 from polypolish_tpu.vocab import DENSE_V
 
+# Defaults (tuned on TPU v5e, 50x-coverage-shaped workloads).
 TILE_P = 512  # positions per output tile (lane-dim multiple of 128)
-E_SUB = 8  # event-tile sublanes
+E_SUB = 8  # event-tile sublanes per chunk
 E_LANE = 128  # event-tile lanes (= MXU contraction depth)
-E_B = E_SUB * E_LANE  # events per chunk (1024)
+E_B = E_SUB * E_LANE  # events per chunk
 
 
-def _vote_kernel(tiles_ref, pos_ref, vocab_ref, out_ref):
-    c = pl.program_id(0)
-    prev_tile = tiles_ref[jnp.maximum(c - 1, 0)]
-    is_first = jnp.logical_or(c == 0, tiles_ref[c] != prev_tile)
+def _make_vote_kernel(tile_p: int, e_sub: int):
+    def _vote_kernel(tiles_ref, pos_ref, vocab_ref, out_ref):
+        c = pl.program_id(0)
+        prev_tile = tiles_ref[jnp.maximum(c - 1, 0)]
+        is_first = jnp.logical_or(c == 0, tiles_ref[c] != prev_tile)
 
-    @pl.when(is_first)
-    def _():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
+        @pl.when(is_first)
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    vrow = jax.lax.broadcasted_iota(jnp.int32, (DENSE_V, E_LANE), 0)
-    pcol = jax.lax.broadcasted_iota(jnp.int32, (E_LANE, TILE_P), 1)
+        vrow = jax.lax.broadcasted_iota(jnp.int32, (DENSE_V, E_LANE), 0)
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (E_LANE, tile_p), 1)
 
-    acc = jnp.zeros((DENSE_V, TILE_P), jnp.float32)
-    for sub in range(E_SUB):  # static unroll: 8 MXU matmuls per chunk
-        voc = vocab_ref[sub, :]  # (128,) int32
-        pos = pos_ref[sub, :]  # (128,) int32, -1 = padding
-        a = (vrow == voc[None, :]).astype(jnp.float32)  # (8, 128)
-        b = (pcol == pos[:, None]).astype(jnp.float32)  # (128, TILE_P)
-        acc = acc + jnp.dot(a, b, preferred_element_type=jnp.float32)
-    out_ref[:, :] += acc.astype(jnp.int32)
+        acc = jnp.zeros((DENSE_V, tile_p), jnp.float32)
+        for sub in range(e_sub):  # static unroll: e_sub MXU matmuls/chunk
+            voc = vocab_ref[sub, :]  # (128,) int32
+            pos = pos_ref[sub, :]  # (128,) int32, -1 = padding
+            a = (vrow == voc[None, :]).astype(jnp.float32)  # (8, 128)
+            b = (pcol == pos[:, None]).astype(jnp.float32)  # (128, tile_p)
+            acc = acc + jnp.dot(a, b, preferred_element_type=jnp.float32)
+        out_ref[:, :] += acc.astype(jnp.int32)
+
+    return _vote_kernel
 
 
 def prepare_chunks(
-    pos: np.ndarray, vocab: np.ndarray, num_positions: int
+    pos: np.ndarray,
+    vocab: np.ndarray,
+    num_positions: int,
+    tile_p: int = TILE_P,
+    e_sub: int = E_SUB,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    """Bucket dense-tier events by position tile and pad to E_B chunks.
+    """Bucket dense-tier events by position tile and pad to chunks.
 
-    Returns (chunk_pos (C*8, 128) int32, chunk_vocab (C*8, 128) int32,
+    Returns (chunk_pos (C*e_sub, 128) int32, chunk_vocab likewise,
     chunk_tile (C,) int32, n_tiles).
     """
+    e_b = e_sub * E_LANE
     mask = (vocab >= 0) & (vocab < DENSE_V) & (pos >= 0) & (pos < num_positions)
     pos = np.asarray(pos[mask], dtype=np.int64)
     vocab = np.asarray(vocab[mask], dtype=np.int32)
-    n_tiles = max(1, -(-num_positions // TILE_P))
+    n_tiles = max(1, -(-num_positions // tile_p))
 
-    tile = (pos // TILE_P).astype(np.int64)
-    order = np.argsort(tile, kind="stable")
+    # int32 keys get numpy's radix sort (stable, O(n)); int64 would fall
+    # back to a much slower mergesort
+    tile32 = (pos // tile_p).astype(np.int32)
+    order = np.argsort(tile32, kind="stable")
     pos = pos[order]
     vocab = vocab[order]
-    tile = tile[order]
+    tile = tile32[order].astype(np.int64)
 
     per_tile = np.bincount(tile, minlength=n_tiles)
-    chunks_per_tile = np.maximum(1, -(-per_tile // E_B))
+    chunks_per_tile = np.maximum(1, -(-per_tile // e_b))
     n_chunks = int(chunks_per_tile.sum())
 
-    flat_pos = np.full(n_chunks * E_B, -1, dtype=np.int32)
-    flat_vocab = np.zeros(n_chunks * E_B, dtype=np.int32)
+    flat_pos = np.full(n_chunks * e_b, -1, dtype=np.int32)
+    flat_vocab = np.zeros(n_chunks * e_b, dtype=np.int32)
     chunk_tile = np.repeat(np.arange(n_tiles, dtype=np.int32), chunks_per_tile)
 
     # slot offset of each tile's first chunk, in flattened event slots
     chunk_start = np.concatenate(([0], np.cumsum(chunks_per_tile)))[:-1]
     tile_event_start = np.concatenate(([0], np.cumsum(per_tile)))[:-1]
     within_tile = np.arange(pos.size) - tile_event_start[tile]
-    dst = chunk_start[tile] * E_B + within_tile
-    flat_pos[dst] = (pos - tile * TILE_P).astype(np.int32)
+    dst = chunk_start[tile] * e_b + within_tile
+    flat_pos[dst] = (pos - tile * tile_p).astype(np.int32)
     flat_vocab[dst] = vocab
-    chunk_pos = flat_pos.reshape(n_chunks * E_SUB, E_LANE)
-    chunk_vocab = flat_vocab.reshape(n_chunks * E_SUB, E_LANE)
+    chunk_pos = flat_pos.reshape(n_chunks * e_sub, E_LANE)
+    chunk_vocab = flat_vocab.reshape(n_chunks * e_sub, E_LANE)
     return chunk_pos, chunk_vocab, chunk_tile, n_tiles
 
 
-def _vote_pallas_call(chunk_pos, chunk_vocab, chunk_tile, n_tiles, interpret):
-    n_chunks = chunk_pos.shape[0] // E_SUB
+def _vote_pallas_call(
+    chunk_pos, chunk_vocab, chunk_tile, n_tiles, interpret,
+    tile_p: int = TILE_P, e_sub: int = E_SUB,
+):
+    n_chunks = chunk_pos.shape[0] // e_sub
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((E_SUB, E_LANE), lambda c, tiles: (c, 0)),
-            pl.BlockSpec((E_SUB, E_LANE), lambda c, tiles: (c, 0)),
+            pl.BlockSpec((e_sub, E_LANE), lambda c, tiles: (c, 0)),
+            pl.BlockSpec((e_sub, E_LANE), lambda c, tiles: (c, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (DENSE_V, TILE_P), lambda c, tiles: (0, tiles[c])
+            (DENSE_V, tile_p), lambda c, tiles: (0, tiles[c])
         ),
     )
-    flops = 2 * n_chunks * E_SUB * DENSE_V * E_LANE * TILE_P
+    flops = 2 * n_chunks * e_sub * DENSE_V * E_LANE * tile_p
     return pl.pallas_call(
-        _vote_kernel,
+        _make_vote_kernel(tile_p, e_sub),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((DENSE_V, n_tiles * TILE_P), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((DENSE_V, n_tiles * tile_p), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=2 * chunk_pos.size * 4 + n_tiles * TILE_P * DENSE_V * 4,
+            bytes_accessed=2 * chunk_pos.size * 4 + n_tiles * tile_p * DENSE_V * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -132,7 +151,8 @@ def _vote_pallas_call(chunk_pos, chunk_vocab, chunk_tile, n_tiles, interpret):
 
 
 _vote_pallas_jit = jax.jit(
-    _vote_pallas_call, static_argnames=("n_tiles", "interpret")
+    _vote_pallas_call,
+    static_argnames=("n_tiles", "interpret", "tile_p", "e_sub"),
 )
 
 
@@ -148,15 +168,18 @@ def dense_counts_pallas(
     vocab: np.ndarray,
     num_positions: int,
     interpret: Optional[bool] = None,
+    tile_p: int = TILE_P,
+    e_sub: int = E_SUB,
 ) -> jnp.ndarray:
     """(8, P) int32 dense vote counts via the MXU one-hot-matmul kernel."""
     if interpret is None:
         interpret = _default_interpret()
     chunk_pos, chunk_vocab, chunk_tile, n_tiles = prepare_chunks(
-        pos, vocab, num_positions
+        pos, vocab, num_positions, tile_p, e_sub
     )
     out = _vote_pallas_jit(
         jnp.asarray(chunk_pos), jnp.asarray(chunk_vocab),
         jnp.asarray(chunk_tile), n_tiles=n_tiles, interpret=interpret,
+        tile_p=tile_p, e_sub=e_sub,
     )
     return out[:, :num_positions]

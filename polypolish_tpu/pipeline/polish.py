@@ -264,25 +264,22 @@ def polish_one_sequence(
     log.eprint(f"Polishing {name} ({log.thousands(seq_len)} bp):")
 
     pos, vid, weight = contig.finalize()
-    counts, depth, sparse = count_votes(pos, vid, weight, seq_len, backend)
-    valid_thr, invalid_thr, low_depth = compute_thresholds(
-        depth, min_depth, fraction_valid, fraction_invalid
-    )
     orig_id = _orig_ids_for_seq(contig.seq, vocab)
 
     if backend == "host":
+        counts, depth, sparse = count_votes(pos, vid, weight, seq_len, backend)
+        valid_thr, invalid_thr, low_depth = compute_thresholds(
+            depth, min_depth, fraction_valid, fraction_invalid
+        )
         new_id, status = consensus_dense_numpy(
             counts, valid_thr, invalid_thr, low_depth, orig_id
         )
     else:
-        import jax.numpy as jnp
-
-        new_id_j, status_j = consensus_dense_jax(
-            jnp.asarray(counts), jnp.asarray(valid_thr),
-            jnp.asarray(invalid_thr), jnp.asarray(low_depth),
-            jnp.asarray(orig_id),
+        (counts, new_id, status, depth, sparse,
+         valid_thr, invalid_thr) = _polish_device(
+            pos, vid, weight, seq_len, orig_id,
+            min_depth, fraction_valid, fraction_invalid, backend,
         )
-        new_id, status = np.array(new_id_j), np.array(status_j)
 
     # Override positions that have sparse-tier votes with the full
     # candidate-list consensus (host; rare).
@@ -318,6 +315,77 @@ def polish_one_sequence(
     changed_count = int(np.count_nonzero(status == ST_CHANGED))
     print_polishing_info(seq_len, total_depth, zero_depth_count, changed_count)
     return len(polished_seq)
+
+
+def _pad_bucket(n: int, granularity_bits: int = 3, minimum: int = 4096) -> int:
+    """Round n up to a geometric bucket (<= 12.5% padding) so jitted
+    device graphs are shared across contigs of similar length instead of
+    recompiling per exact contig length."""
+    n = max(int(n), minimum)
+    shift = max(n.bit_length() - 1 - granularity_bits, 0)
+    step = 1 << shift
+    return -(-n // step) * step
+
+
+_MODEL_CACHE: Dict = {}
+
+
+def _polish_device(
+    pos, vid, weight, seq_len, orig_id,
+    min_depth, fraction_valid, fraction_invalid, backend,
+):
+    """Device execution path: the whole integer pipeline (vote counts +
+    consensus) runs as one jitted forward step; only the order-sensitive
+    f64 depth/threshold math stays on the host.  The position axis is
+    padded to a geometric bucket (pad positions: low_depth=True,
+    valid/invalid=INT32_MAX, orig_id=0 -> status LOW_DEPTH keep)."""
+    import jax.numpy as jnp
+
+    from polypolish_tpu.models.polisher import PolisherModel
+    from polypolish_tpu.ops.vote import depth_host, sparse_counts_host
+
+    depth = depth_host(pos, weight, seq_len)
+    sparse = sparse_counts_host(pos, vid)
+    valid_thr, invalid_thr, low_depth = compute_thresholds(
+        depth, min_depth, fraction_valid, fraction_invalid
+    )
+
+    p_pad = _pad_bucket(seq_len)
+    i32max = np.int32(2**31 - 1)
+
+    def pad(arr, fill, dtype):
+        out = np.full(p_pad, fill, dtype=dtype)
+        out[:seq_len] = arr
+        return jnp.asarray(out)
+
+    key = (p_pad, backend)
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        model = PolisherModel(p_pad, use_pallas=(backend == "pallas"))
+        _MODEL_CACHE[key] = model
+
+    thr_args = (
+        pad(valid_thr, i32max, np.int32),
+        pad(invalid_thr, i32max, np.int32),
+        pad(low_depth, True, bool),
+        pad(orig_id, 0, np.int32),
+    )
+    if backend == "pallas":
+        chunk_pos, chunk_vocab, chunk_tile = model.pack(pos, vid)
+        counts_j, new_id_j, status_j = model.forward_jit(
+            chunk_pos, chunk_vocab, chunk_tile, *thr_args
+        )
+    else:
+        from polypolish_tpu.ops.vote import dense_counts_xla
+
+        counts_j = dense_counts_xla(
+            jnp.asarray(pos, jnp.int32), jnp.asarray(vid, jnp.int32), p_pad
+        )
+        new_id_j, status_j = consensus_dense_jax(counts_j, *thr_args)
+    counts = np.asarray(counts_j)[:, :seq_len]
+    new_id = np.array(new_id_j)[:seq_len]
+    status = np.array(status_j)[:seq_len]
+    return counts, new_id, status, depth, sparse, valid_thr, invalid_thr
 
 
 def _apply_edits(seq: str, status: np.ndarray, new_id: np.ndarray, vocab: Vocab) -> str:

@@ -61,6 +61,19 @@ def test_pallas_matches_host(seed, n_events, num_positions):
     np.testing.assert_array_equal(host, pallas)
 
 
+@pytest.mark.parametrize("tile_p,e_sub", [(128, 8), (256, 16), (512, 32), (1024, 8)])
+def test_pallas_tiling_configs(tile_p, e_sub):
+    rng = np.random.default_rng(10)
+    pos, vocab = _random_events(rng, 8000, 900)
+    host = dense_counts_host(pos, vocab, 900)
+    out = np.asarray(
+        dense_counts_pallas(
+            pos, vocab, 900, interpret=True, tile_p=tile_p, e_sub=e_sub
+        )
+    )
+    np.testing.assert_array_equal(host, out)
+
+
 def test_pallas_heavy_single_position():
     # one position receiving thousands of votes (deep pileup)
     pos = np.zeros(5000, dtype=np.int64)
