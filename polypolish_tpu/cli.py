@@ -106,6 +106,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "sam", nargs="+", help="Short read alignments (one or more files in SAM format)"
     )
+
+    b = sub.add_parser(
+        "batch",
+        help="polish many genomes from a manifest (TPU extension; "
+        "no reference counterpart)",
+    )
+    b.add_argument(
+        "manifest",
+        help="TSV manifest: assembly<TAB>output<TAB>sam1[,sam2...] per line",
+    )
+    b.add_argument("-i", "--fraction_invalid", type=float, default=0.2)
+    b.add_argument("-v", "--fraction_valid", type=float, default=0.5)
+    b.add_argument("-m", "--max_errors", type=int, default=10)
+    b.add_argument("-d", "--min_depth", type=int, default=5)
+    b.add_argument("--careful", action="store_true")
+    b.add_argument(
+        "--backend", default="auto", choices=("auto", "host", "xla", "pallas")
+    )
+    b.add_argument("--workers", type=int, default=None)
+    b.add_argument("--pure-python", action="store_true")
     return parser
 
 
@@ -149,6 +169,23 @@ def main(argv: Optional[List[str]] = None) -> int:
                 backend=_resolve_backend(args.backend),
                 use_native=not args.pure_python,
             )
+        elif args.command == "batch":
+            from polypolish_tpu.pipeline.batch import parse_manifest, polish_batch
+
+            jobs = parse_manifest(args.manifest)
+            results = polish_batch(
+                jobs,
+                fraction_invalid=args.fraction_invalid,
+                fraction_valid=args.fraction_valid,
+                max_errors=args.max_errors,
+                min_depth=args.min_depth,
+                careful=args.careful,
+                backend=_resolve_backend(args.backend),
+                use_native=not args.pure_python,
+                workers=args.workers,
+            )
+            if any("error" in r for r in results):
+                return 1
     except PolypolishError as e:
         render_error_and_exit(e)
     return 0

@@ -22,6 +22,24 @@ _RESET = "\033[0m"
 # Set to True to strip ANSI codes (used by tests and --no-color-ish envs).
 PLAIN = bool(os.environ.get("POLYPOLISH_TPU_PLAIN_LOG"))
 
+# When True, all narrative stderr output is suppressed (batch mode).
+QUIET = False
+
+
+class quiet:
+    """Context manager that silences the narrative log."""
+
+    def __enter__(self):
+        global QUIET
+        self._prev = QUIET
+        QUIET = True
+        return self
+
+    def __exit__(self, *exc):
+        global QUIET
+        QUIET = self._prev
+        return False
+
 
 def _stderr_width(default: int = 80) -> int:
     try:
@@ -33,6 +51,8 @@ def _stderr_width(default: int = 80) -> int:
 
 
 def section_header(text: str) -> None:
+    if QUIET:
+        return
     now = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
     date = f"({now})"
     print(file=sys.stderr)
@@ -46,6 +66,8 @@ def section_header(text: str) -> None:
 
 
 def explanation(text: str) -> None:
+    if QUIET:
+        return
     term_width = _stderr_width()
     wrapped = textwrap.fill(f"    {text}", width=term_width)
     if PLAIN:
@@ -56,6 +78,8 @@ def explanation(text: str) -> None:
 
 
 def eprint(*args, **kwargs) -> None:
+    if QUIET:
+        return
     print(*args, file=sys.stderr, **kwargs)
 
 

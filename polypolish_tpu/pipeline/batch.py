@@ -1,0 +1,94 @@
+"""Batch polishing: many genomes through one process (BASELINE.json
+config 5 — "500 bacterial genomes batch-polished").
+
+Host parsing (the end-to-end bottleneck) runs in a thread pool — the
+native C++ packer releases the GIL for the duration of the C call — and
+device steps share jitted graphs via the geometric position-bucket
+padding in pipeline/polish.py, so genome N+1 pays no recompile.
+
+Manifest format (TSV, one genome per line):
+    assembly.fasta <TAB> polished_out.fasta <TAB> aln1.sam[,aln2.sam...]
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from polypolish_tpu import log
+from polypolish_tpu.errors import PolypolishError, quit_with_error
+from polypolish_tpu.utils.timing import format_duration
+
+
+def parse_manifest(path: str) -> List[Tuple[str, str, List[str]]]:
+    jobs = []
+    with open(path) as f:
+        for line_no, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            if len(parts) != 3:
+                quit_with_error(
+                    f"manifest line {line_no} must have 3 tab-separated "
+                    "fields: assembly, output, comma-joined SAMs"
+                )
+            assembly, out_path, sams = parts
+            jobs.append((assembly, out_path, sams.split(",")))
+    if not jobs:
+        quit_with_error(f'no jobs found in manifest "{path}"')
+    return jobs
+
+
+def polish_batch(
+    jobs: Sequence[Tuple[str, str, List[str]]],
+    fraction_invalid: float = 0.2,
+    fraction_valid: float = 0.5,
+    max_errors: int = 10,
+    min_depth: int = 5,
+    careful: bool = False,
+    backend: str = "host",
+    use_native: bool = True,
+    workers: Optional[int] = None,
+) -> List[Dict]:
+    """Polish every (assembly, out_path, sams) job; returns per-genome
+    summaries [{'assembly', 'out', 'lengths' | 'error'}]."""
+    from polypolish_tpu.pipeline.polish import polish
+
+    start = time.monotonic()
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1, max(1, len(jobs)))
+
+    def run_one(job):
+        assembly, out_path, sams = job
+        try:
+            with open(out_path, "w") as out:
+                lengths = polish(
+                    None, fraction_invalid, fraction_valid, max_errors,
+                    min_depth, careful, assembly, sams,
+                    out=out, backend=backend, use_native=use_native,
+                )
+            return {"assembly": assembly, "out": out_path, "lengths": lengths}
+        except PolypolishError as e:
+            return {"assembly": assembly, "out": out_path, "error": str(e)}
+
+    print_log = log.eprint  # capture before quieting
+    results: List[Dict] = []
+    with log.quiet():
+        if workers <= 1 or len(jobs) == 1:
+            results = [run_one(j) for j in jobs]
+        else:
+            with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+                results = list(pool.map(run_one, jobs))
+
+    ok = sum(1 for r in results if "error" not in r)
+    failed = [r for r in results if "error" in r]
+    log.section_header("Batch polishing finished")
+    print_log(f"Genomes polished: {ok}/{len(jobs)} "
+              f"(workers={workers}, backend={backend})")
+    for r in failed:
+        print_log(f"  FAILED {r['assembly']}: {r['error']}")
+    print_log(f"Time to run: {format_duration(time.monotonic() - start)}")
+    return results

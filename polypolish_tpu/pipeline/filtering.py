@@ -202,27 +202,38 @@ def get_insert_size_thresholds(
         "read set."
     )
     f1, f2 = files
-    sizes_by_orientation: List[List[int]] = [[], [], [], []]
-    total_unique_pairs = 0
-    for nidx, rows_1 in f1.by_name.items():
-        if len(rows_1) != 1:
-            continue
-        rows_2 = f2.by_name.get(nidx)
-        if rows_2 is None or len(rows_2) != 1:
-            continue
-        r1, r2 = rows_1[0], rows_2[0]
-        if f1.ref_id[r1] != f2.ref_id[r2]:
-            continue
-        code = pairfilter.orientation_scalar(
-            int(f1.flags[r1]), int(f1.start[r1]), int(f1.end[r1]),
-            int(f2.flags[r2]), int(f2.start[r2]), int(f2.end[r2]),
+    # Vectorised unique-pair selection: reads with exactly one alignment
+    # in each file, same reference (filter.rs:155-167).
+    num_names = (
+        int(
+            max(
+                f1.name_idx.max() if len(f1) else -1,
+                f2.name_idx.max() if len(f2) else -1,
+            )
         )
-        size = pairfilter.insert_size_scalar(
-            int(f1.start[r1]), int(f1.end[r1]),
-            int(f2.start[r2]), int(f2.end[r2]),
-        )
-        sizes_by_orientation[code].append(size)
-        total_unique_pairs += 1
+        + 1
+    )
+    c1 = np.bincount(f1.name_idx, minlength=num_names)
+    c2 = np.bincount(f2.name_idx, minlength=num_names)
+    row1 = np.full(num_names, -1, dtype=np.int64)
+    row1[f1.name_idx[::-1]] = np.arange(len(f1))[::-1]
+    row2 = np.full(num_names, -1, dtype=np.int64)
+    row2[f2.name_idx[::-1]] = np.arange(len(f2))[::-1]
+    unique = (c1 == 1) & (c2 == 1)
+    r1 = row1[unique]
+    r2 = row2[unique]
+    same_ref = f1.ref_id[r1] == f2.ref_id[r2]
+    r1, r2 = r1[same_ref], r2[same_ref]
+
+    codes = pairfilter.orientation_vec(
+        f1.flags[r1], f1.start[r1], f1.end[r1],
+        f2.flags[r2], f2.start[r2], f2.end[r2],
+    )
+    sizes_all = pairfilter.insert_size_vec(
+        f1.start[r1], f1.end[r1], f2.start[r2], f2.end[r2]
+    )
+    sizes_by_orientation = [sizes_all[codes == c] for c in range(4)]
+    total_unique_pairs = int(r1.shape[0])
     if total_unique_pairs == 0:
         quit_with_error(
             "no one-alignment-per-read pairs available to determine "
@@ -247,7 +258,8 @@ def get_insert_size_thresholds(
         )
 
     sizes = (
-        np.sort(np.asarray(sizes_by_orientation[code], dtype=np.int64))
+        np.sort(np.asarray(sizes_by_orientation[code], dtype=np.int64),
+                kind="stable")
         if code >= 0
         else np.empty(0, dtype=np.int64)
     )

@@ -67,13 +67,18 @@ def polish(
         debug, fraction_invalid, fraction_valid, max_errors, min_depth,
         careful, assembly, sam,
     )
-    seq_names, votes = load_assembly(assembly)
+    from polypolish_tpu.utils.profiling import maybe_trace, phase
+
+    with phase("load_assembly"):
+        seq_names, votes = load_assembly(assembly)
     vocab = Vocab()
-    load_alignments(max_errors, careful, sam, votes, vocab, use_native)
-    new_lengths = polish_sequences(
-        debug, fraction_invalid, fraction_valid, min_depth,
-        seq_names, votes, vocab, out, backend,
-    )
+    with phase("load_alignments"):
+        load_alignments(max_errors, careful, sam, votes, vocab, use_native)
+    with phase("polish_sequences"), maybe_trace():
+        new_lengths = polish_sequences(
+            debug, fraction_invalid, fraction_valid, min_depth,
+            seq_names, votes, vocab, out, backend,
+        )
     finished_message(debug, new_lengths, start_time)
     return new_lengths
 

@@ -1,0 +1,77 @@
+"""Batch polishing: many genomes, threaded, output identical to
+one-at-a-time polish."""
+
+import io
+
+import pytest
+
+import synth
+from oracle import oracle_polish
+
+from polypolish_tpu.pipeline.batch import parse_manifest, polish_batch
+from polypolish_tpu.errors import PolypolishError
+
+
+def _write_job(tmp_path, seed, tag):
+    fasta, sam_text = synth.make_polish_case(
+        seed=seed, genome_len=400, n_reads=200, contig_name=f"g{tag}"
+    )
+    asm = tmp_path / f"asm_{tag}.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / f"aln_{tag}.sam"
+    sam.write_text(sam_text)
+    out = tmp_path / f"out_{tag}.fasta"
+    return (str(asm), str(out), [str(sam)]), fasta, sam_text
+
+
+@pytest.mark.parametrize("workers", [1, 4])
+def test_polish_batch_matches_oracle(tmp_path, workers):
+    jobs = []
+    expected = {}
+    for i in range(6):
+        job, fasta, sam_text = _write_job(tmp_path, 100 + i, i)
+        jobs.append(job)
+        exp, _ = oracle_polish(fasta, [sam_text])
+        expected[job[1]] = exp
+
+    results = polish_batch(jobs, workers=workers)
+    assert all("error" not in r for r in results)
+    for _, out_path, _ in jobs:
+        text = open(out_path).read()
+        seqs = {}
+        name = None
+        for line in text.splitlines():
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+                seqs[name] = ""
+            else:
+                seqs[name] += line
+        assert seqs == expected[out_path]
+
+
+def test_polish_batch_reports_failures(tmp_path):
+    job, _, _ = _write_job(tmp_path, 1, "ok")
+    bad = (str(tmp_path / "missing.fasta"), str(tmp_path / "o.fasta"), job[2])
+    results = polish_batch([job, bad], workers=2)
+    assert "error" not in results[0]
+    assert "error" in results[1]
+
+
+def test_parse_manifest(tmp_path):
+    m = tmp_path / "manifest.tsv"
+    m.write_text(
+        "# comment\n"
+        "a.fasta\tout.fasta\tx.sam,y.sam\n"
+        "b.fasta\tout2.fasta\tz.sam\n"
+    )
+    jobs = parse_manifest(str(m))
+    assert jobs == [
+        ("a.fasta", "out.fasta", ["x.sam", "y.sam"]),
+        ("b.fasta", "out2.fasta", ["z.sam"]),
+    ]
+    m.write_text("bad line\n")
+    with pytest.raises(PolypolishError, match="3 tab-separated"):
+        parse_manifest(str(m))
+    m.write_text("")
+    with pytest.raises(PolypolishError, match="no jobs"):
+        parse_manifest(str(m))
