@@ -83,6 +83,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,                     # n_vocab
             ctypes.c_int64,                     # max_errors
             ctypes.c_int32,                     # careful
+            ctypes.c_int32,                     # n_threads
         ]
         lib.pp_free_result.argtypes = [ctypes.POINTER(_PPResultView)]
         lib.pp_free_result.restype = None
@@ -95,12 +96,26 @@ def _transfer_safe(s: str) -> str:
     return s.replace("\x00", "\x01")
 
 
+def default_threads() -> int:
+    env = os.environ.get("POLYPOLISH_TPU_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(os.cpu_count() or 1, 16))
+
+
 def process_sam_native(
-    filename, votes: Dict, vocab: Vocab, max_errors: int, careful: bool
+    filename, votes: Dict, vocab: Vocab, max_errors: int, careful: bool,
+    n_threads: Optional[int] = None,
 ) -> Tuple[int, int, int]:
-    """Native counterpart of ops.pack.process_sam (same contract)."""
+    """Native counterpart of ops.pack.process_sam (same contract).
+
+    Parallel across file ranges; output is bit-identical for any thread
+    count (see sam_packer.cc header comment).
+    """
     lib = load_library()
     assert lib is not None
+    if n_threads is None:
+        n_threads = default_threads()
 
     contig_names = list(votes.keys())
     names_blob = "\n".join(contig_names).encode("utf-8")
@@ -120,6 +135,7 @@ def process_sam_native(
         len(vocab.strings),
         max_errors,
         1 if careful else 0,
+        n_threads,
     )
     try:
         v = view.contents

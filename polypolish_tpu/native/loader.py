@@ -16,7 +16,10 @@ def available() -> bool:
         return False
 
 
-def process_sam_native(filename, votes, vocab, max_errors, careful):
+def process_sam_native(filename, votes, vocab, max_errors, careful,
+                       n_threads=None):
     from polypolish_tpu.native import binding
 
-    return binding.process_sam_native(filename, votes, vocab, max_errors, careful)
+    return binding.process_sam_native(
+        filename, votes, vocab, max_errors, careful, n_threads=n_threads
+    )

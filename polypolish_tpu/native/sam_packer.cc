@@ -6,6 +6,15 @@
 // cross-check in tests/test_native.py).  Reference semantics:
 // alignment.rs:214-322, pileup.rs:189-200.
 //
+// Parallelism: the file is split into byte ranges, each range snapped to
+// a *read-group* boundary (a thread skips the leading lines whose read
+// name equals the last aligned name before its range, and runs past its
+// end until its open group closes — exactly complementary, so every
+// aligned line is processed once).  Per-thread event buffers concatenate
+// in range order and newly interned vocab strings merge in thread order,
+// which reproduces the serial first-occurrence interning order — the
+// output is bit-identical to a single-threaded run.
+//
 // Exposed via a C ABI for ctypes (no pybind11 in this environment).
 
 #include <cctype>
@@ -15,6 +24,7 @@
 #include <cstring>
 #include <string>
 #include <string_view>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -85,7 +95,6 @@ std::string revcomp_str(const std::string& s) {
   return out;
 }
 
-// CIGAR op -> category
 inline bool is_cigar_op(char c) {
   return c == 'M' || c == 'I' || c == 'D' || c == 'N' || c == 'S' ||
          c == 'H' || c == 'P' || c == '=' || c == 'X';
@@ -108,11 +117,10 @@ bool cigar_valid(std::string_view cigar) {
   return n > 0;
 }
 
-// First/last op letters (end-to-end check needs them; alignment.rs:155-159)
+// First/last op letters (end-to-end check; alignment.rs:155-159)
 bool starts_and_ends_with_match(std::string_view cigar) {
   if (cigar == "*" || cigar.empty()) return false;
   char last = cigar.back();
-  // find first op letter
   size_t i = 0;
   while (i < cigar.size() && cigar[i] >= '0' && cigar[i] <= '9') ++i;
   if (i >= cigar.size()) return false;
@@ -120,63 +128,77 @@ bool starts_and_ends_with_match(std::string_view cigar) {
   return (first == 'M' || first == '=') && (last == 'M' || last == '=');
 }
 
+using VocabMap = std::unordered_map<std::string, int32_t>;
+
 struct Interner {
-  std::unordered_map<std::string, int32_t> map;
-  int32_t next_id;
-  int32_t char_ids[256];
-  std::string* new_vocab;
-  int64_t* n_new_vocab;
+  const VocabMap* base = nullptr;   // shared read-only input vocab
+  VocabMap local;                   // strings first seen by this thread
+  std::vector<std::string>* new_strings = nullptr;
+  int32_t n_base = 0;
+  int32_t char_ids[256];            // fast path incl. locally added
 
   int32_t intern(const std::string& s) {
     if (s.size() == 1) {
       int32_t v = char_ids[(unsigned char)s[0]];
       if (v >= 0) return v;
     }
-    auto it = map.find(s);
-    if (it != map.end()) return it->second;
-    int32_t id = next_id++;
-    map.emplace(s, id);
+    auto it = base->find(s);
+    if (it != base->end()) return it->second;
+    auto lt = local.find(s);
+    if (lt != local.end()) return lt->second;
+    int32_t id = n_base + (int32_t)new_strings->size();
+    local.emplace(s, id);
+    new_strings->push_back(s);
     if (s.size() == 1) char_ids[(unsigned char)s[0]] = id;
-    new_vocab->append(s);
-    new_vocab->push_back('\n');
-    ++*n_new_vocab;
     return id;
   }
 };
 
-struct Context {
-  Result* res;
-  Interner interner;
+struct Shared {
+  VocabMap base_vocab;
+  int32_t n_base_vocab = 0;   // input id space size (incl. placeholders)
+  int32_t base_char_ids[256];
   std::unordered_map<std::string_view, int32_t> contig_ids;
-  const int64_t* contig_lens;
-  int64_t max_errors;
-  bool careful;
+  std::string contig_buf;
+  const int64_t* contig_lens = nullptr;
+  int64_t max_errors = 0;
+  bool careful = false;
   std::string filename;
-  std::string contig_buf;  // backing storage for contig name views
-  std::string vocab_buf;
+  std::string_view data;
 };
 
-bool fail(Context& ctx, const std::string& msg) {
-  ctx.res->status = 1;
-  ctx.res->error = msg;
-  return false;
-}
+struct Worker {
+  const Shared* sh = nullptr;
+  Result res;
+  Interner interner;
+  std::vector<std::string> new_strings;
+  int64_t err_line = INT64_MAX;     // for deterministic error selection
 
-// Process one read group (consecutive SAM lines with the same name).
-// Reference: alignment.rs:275-305.
-bool process_group(Context& ctx, std::vector<Aln>& group) {
-  Result& res = *ctx.res;
-  if (ctx.careful && group.size() > 1) return true;
+  bool fail(const std::string& msg, int64_t line_no) {
+    if (res.status == 0) {
+      res.status = 1;
+      res.error = msg;
+      err_line = line_no;
+    }
+    return false;
+  }
+};
 
-  // recover the read sequence from the first non-'*' alignment
+// Process one read group (consecutive aligned SAM lines, same name).
+// Reference: alignment.rs:275-305.  line_no = last parsed line (errors).
+bool process_group(Worker& w, std::vector<Aln>& group, int64_t line_no) {
+  const Shared& sh = *w.sh;
+  Result& res = w.res;
+  if (sh.careful && group.size() > 1) return true;
+
   const Aln* primary = nullptr;
   for (const Aln& a : group) {
     if (a.seq_raw != "*") { primary = &a; break; }
   }
   if (!primary) {
-    return fail(ctx, "no alignments for read " +
-                         std::string(group[0].read_name) +
-                         " contain sequence");
+    return w.fail("no alignments for read " + std::string(group[0].read_name) +
+                      " contain sequence",
+                  line_no);
   }
   std::string primary_seq(primary->seq_raw);
   ascii_upper_inplace(primary_seq);
@@ -185,11 +207,11 @@ bool process_group(Context& ctx, std::vector<Aln>& group) {
   int n_good = 0;
   for (Aln& a : group) {
     a.good = starts_and_ends_with_match(a.cigar) &&
-             a.mismatches <= ctx.max_errors && a.pass_qc;
+             a.mismatches <= sh.max_errors && a.pass_qc;
     if (a.good) ++n_good;
   }
   if (n_good == 0) return true;
-  double w = 1.0 / (double)n_good;
+  double weight = 1.0 / (double)n_good;
   res.used_count += n_good;
 
   std::vector<std::pair<int32_t, int32_t>> ranges;
@@ -204,10 +226,11 @@ bool process_group(Context& ctx, std::vector<Aln>& group) {
     }
     const std::string& seq = a.seq_owned;
 
-    auto cit = ctx.contig_ids.find(a.ref_name);
-    if (cit == ctx.contig_ids.end()) {
-      return fail(ctx, "query name " + std::string(a.ref_name) +
-                           " in SAM but not in assembly");
+    auto cit = sh.contig_ids.find(a.ref_name);
+    if (cit == sh.contig_ids.end()) {
+      return w.fail("query name " + std::string(a.ref_name) +
+                        " in SAM but not in assembly",
+                    line_no);
     }
     int32_t contig = cit->second;
 
@@ -237,16 +260,18 @@ bool process_group(Context& ctx, std::vector<Aln>& group) {
           for (int64_t k = 0; k < num; ++k) ranges.emplace_back(i, i);
           break;
         default:
-          return fail(ctx,
-                      "unexpected character (other than M, =, X, I or D) in "
-                      "CIGAR string for read " + std::string(a.read_name) +
-                      ": \"" + std::string(cig) +
-                      "\" - did you use BWA MEM to generate your alignments?");
+          return w.fail(
+              "unexpected character (other than M, =, X, I or D) in CIGAR "
+              "string for read " + std::string(a.read_name) + ": \"" +
+                  std::string(cig) +
+                  "\" - did you use BWA MEM to generate your alignments?",
+              line_no);
       }
     }
     if ((size_t)i != seq.size()) {
-      return fail(ctx, "CIGAR string for read " + std::string(a.read_name) +
-                           " does not match read sequence");
+      return w.fail("CIGAR string for read " + std::string(a.read_name) +
+                        " does not match read sequence",
+                    line_no);
     }
 
     // homopolymer trim (alignment.rs:364-378)
@@ -264,10 +289,11 @@ bool process_group(Context& ctx, std::vector<Aln>& group) {
     if (ranges.empty()) continue;
 
     int64_t end_pos = a.ref_start + (int64_t)ranges.size();
-    if (end_pos > ctx.contig_lens[contig]) {
-      return fail(ctx, "alignment for read " + std::string(a.read_name) +
-                           " extends past the end of contig " +
-                           std::string(a.ref_name));
+    if (end_pos > sh.contig_lens[contig]) {
+      return w.fail("alignment for read " + std::string(a.read_name) +
+                        " extends past the end of contig " +
+                        std::string(a.ref_name),
+                    line_no);
     }
 
     int64_t pos = a.ref_start;
@@ -276,30 +302,30 @@ bool process_group(Context& ctx, std::vector<Aln>& group) {
       if (s == e) {
         vid = 0;  // '-' deletion vote
       } else if (e - s == 1) {
-        vid = ctx.interner.char_ids[(unsigned char)seq[(size_t)s]];
-        if (vid < 0) vid = ctx.interner.intern(std::string(1, seq[(size_t)s]));
+        vid = w.interner.char_ids[(unsigned char)seq[(size_t)s]];
+        if (vid < 0)
+          vid = w.interner.intern(std::string(1, seq[(size_t)s]));
       } else {
-        vid = ctx.interner.intern(seq.substr((size_t)s, (size_t)(e - s)));
+        vid = w.interner.intern(seq.substr((size_t)s, (size_t)(e - s)));
       }
       res.contig_id.push_back(contig);
       res.pos.push_back((int32_t)pos);
       res.vocab.push_back(vid);
-      res.weight.push_back(w);
+      res.weight.push_back(weight);
       ++pos;
     }
   }
   return true;
 }
 
-bool parse_line(Context& ctx, const char* line, size_t len, int64_t line_no,
+bool parse_line(Worker& w, const char* line, size_t len, int64_t line_no,
                 Aln& a) {
-  // split into up to 12+ tab fields (in place, zero copy)
-  const char* fields[64];
-  size_t flens[64];
+  const char* fields[256];
+  size_t flens[256];
   int nf = 0;
   const char* start = line;
   const char* end = line + len;
-  for (const char* q = line; q <= end && nf < 64; ++q) {
+  for (const char* q = line; q <= end && nf < 256; ++q) {
     if (q == end || *q == '\t') {
       fields[nf] = start;
       flens[nf] = (size_t)(q - start);
@@ -308,8 +334,9 @@ bool parse_line(Context& ctx, const char* line, size_t len, int64_t line_no,
     }
   }
   if (nf < 11) {
-    return fail(ctx, "too few columns in \"" + ctx.filename + "\" (line " +
-                         std::to_string(line_no) + ")");
+    return w.fail("too few columns in \"" + w.sh->filename + "\" (line " +
+                      std::to_string(line_no) + ")",
+                  line_no);
   }
   a.read_name = std::string_view(fields[0], flens[0]);
   a.flags = (uint32_t)parse_int(std::string_view(fields[1], flens[1]));
@@ -329,7 +356,8 @@ bool parse_line(Context& ctx, const char* line, size_t len, int64_t line_no,
       static const char* zp = "zp:z:fail";
       bool eq = true;
       for (int k = 0; k < 9; ++k)
-        if (kUpper[(unsigned char)tag[(size_t)k]] != kUpper[(unsigned char)zp[k]]) {
+        if (kUpper[(unsigned char)tag[(size_t)k]] !=
+            kUpper[(unsigned char)zp[k]]) {
           eq = false;
           break;
         }
@@ -337,81 +365,253 @@ bool parse_line(Context& ctx, const char* line, size_t len, int64_t line_no,
     }
   }
   if (a.mismatches < 0 && a.aligned()) {
-    return fail(ctx, "missing NM tag in \"" + ctx.filename + "\" (line " +
-                         std::to_string(line_no) + ")");
+    return w.fail("missing NM tag in \"" + w.sh->filename + "\" (line " +
+                      std::to_string(line_no) + ")",
+                  line_no);
   }
   if (!cigar_valid(a.cigar)) {
-    return fail(ctx, "encountered an invalid CIGAR string for read " +
-                         std::string(a.read_name) + ": \"" +
-                         std::string(a.cigar) + "\"");
+    return w.fail("encountered an invalid CIGAR string for read " +
+                      std::string(a.read_name) + ": \"" + std::string(a.cigar) +
+                      "\"",
+                  line_no);
   }
   return true;
 }
 
-void run_file(Context& ctx) {
-  Result* res = ctx.res;
-  FILE* f = fopen(ctx.filename.c_str(), "rb");
-  if (!f) {
-    fail(ctx, "unable to load alignments from \"" + ctx.filename + "\"");
-    return;
-  }
-  fseek(f, 0, SEEK_END);
-  long fsize = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::string data;
-  data.resize((size_t)fsize);
-  if (fsize > 0 && fread(data.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
-    fail(ctx, "unable to load alignments from \"" + ctx.filename + "\"");
-    fclose(f);
-    return;
-  }
-  fclose(f);
+// Extract the QNAME of a SAM body line without a full parse; returns an
+// empty view for header/empty lines.  aligned_out reports FLAG bit 4.
+std::string_view quick_name(std::string_view data, size_t line_start,
+                            size_t line_end, bool* aligned_out) {
+  *aligned_out = false;
+  if (line_start >= line_end) return {};
+  if (data[line_start] == '@') return {};
+  size_t t1 = data.find('\t', line_start);
+  if (t1 == std::string_view::npos || t1 >= line_end) return {};
+  size_t t2 = data.find('\t', t1 + 1);
+  if (t2 == std::string_view::npos || t2 > line_end) t2 = line_end;
+  uint32_t flags =
+      (uint32_t)parse_int(data.substr(t1 + 1, t2 - t1 - 1));
+  *aligned_out = (flags & 4) == 0;
+  return data.substr(line_start, t1 - line_start);
+}
 
-  // rough event capacity: ~1 event per 2.5 input bytes at typical
-  // read lengths; avoids repeated reallocation of the output vectors
-  size_t cap = data.size() / 3 + 1024;
-  res->contig_id.reserve(cap);
-  res->pos.reserve(cap);
-  res->vocab.reserve(cap);
-  res->weight.reserve(cap);
+// Process lines in [begin, hard_end), continuing past hard_end while the
+// open group persists; skip the leading lines whose aligned name equals
+// prev_name (they belong to the previous range's open group).
+void run_range(Worker& w, size_t begin, size_t hard_end,
+               std::string_view prev_name, int64_t start_line_no) {
+  const Shared& sh = *w.sh;
+  std::string_view data = sh.data;
+  Result& res = w.res;
 
   std::vector<Aln> group;
   std::string_view current_name;
-  int64_t line_no = 0;
-  size_t off = 0;
+  bool skipping = !prev_name.empty();
+  int64_t line_no = start_line_no;
+  size_t off = begin;
+
   while (off < data.size()) {
+    if (off >= hard_end && group.empty()) break;
     size_t nl = data.find('\n', off);
-    if (nl == std::string::npos) nl = data.size();
+    if (nl == std::string_view::npos) nl = data.size();
     size_t llen = nl - off;
     if (llen > 0 && data[off + llen - 1] == '\r') --llen;
     ++line_no;
     const char* line = data.data() + off;
+    size_t line_start = off;
     off = nl + 1;
     if (llen == 0) continue;
     if (line[0] == '@') continue;
 
     Aln a;
-    if (!parse_line(ctx, line, llen, line_no, a)) return;
+    if (!parse_line(w, line, llen, line_no, a)) return;
     if (!a.aligned()) continue;
-    ++res->alignment_count;
 
+    if (skipping) {
+      if (a.read_name == prev_name) continue;  // previous range's group
+      skipping = false;
+    }
+    if (line_start >= hard_end && group.empty()) break;
+    if (line_start >= hard_end && !group.empty() &&
+        a.read_name != current_name) {
+      // open group closed by a new name beyond our range: finish it and
+      // stop — the new group belongs to the next range
+      break;
+    }
+
+    ++res.alignment_count;
     if (current_name.empty() || current_name == a.read_name) {
       current_name = a.read_name;
       group.push_back(std::move(a));
     } else {
-      if (!process_group(ctx, group)) return;
-      ++res->read_count;
+      if (!process_group(w, group, line_no)) return;
+      ++res.read_count;
       group.clear();
       current_name = a.read_name;
       group.push_back(std::move(a));
     }
   }
   if (!group.empty()) {
-    if (!process_group(ctx, group)) return;
-    ++res->read_count;
+    if (!process_group(w, group, line_no)) return;
+    ++res.read_count;
   }
-  if (res->alignment_count == 0) {
-    fail(ctx, "no alignments in \"" + ctx.filename + "\"");
+}
+
+// Find the last aligned-line QNAME strictly before byte offset `pos`
+// (pos is a line start).  Walks backwards line by line.
+std::string_view last_aligned_name_before(std::string_view data, size_t pos) {
+  size_t line_end = pos;  // exclusive end of the candidate line + newline
+  while (line_end > 0) {
+    size_t e = line_end;
+    if (e > 0 && data[e - 1] == '\n') --e;  // strip trailing newline
+    size_t ls0 =
+        (e == 0) ? std::string_view::npos : data.rfind('\n', e - 1);
+    size_t line_start = (ls0 == std::string_view::npos) ? 0 : ls0 + 1;
+    if (line_start > e) line_start = e;
+    bool aligned = false;
+    std::string_view name = quick_name(data, line_start, e, &aligned);
+    if (!name.empty() && aligned) return name;
+    if (line_start == 0) break;
+    line_end = line_start;
+  }
+  return {};
+}
+
+void merge_results(Result* out, std::vector<Worker>& workers,
+                   const int32_t n_base_vocab) {
+  // deterministic vocab merge: thread order reproduces serial
+  // first-occurrence order
+  VocabMap global_new;
+  std::vector<std::vector<int32_t>> remaps(workers.size());
+  for (size_t t = 0; t < workers.size(); ++t) {
+    auto& remap = remaps[t];
+    remap.reserve(workers[t].new_strings.size());
+    for (const std::string& s : workers[t].new_strings) {
+      auto it = global_new.find(s);
+      int32_t gid;
+      if (it != global_new.end()) {
+        gid = it->second;
+      } else {
+        gid = n_base_vocab + (int32_t)global_new.size();
+        global_new.emplace(s, gid);
+        out->new_vocab.append(s);
+        out->new_vocab.push_back('\n');
+        ++out->n_new_vocab;
+      }
+      remap.push_back(gid);
+    }
+  }
+  size_t total = 0;
+  for (auto& w : workers) total += w.res.pos.size();
+  out->contig_id.reserve(total);
+  out->pos.reserve(total);
+  out->vocab.reserve(total);
+  out->weight.reserve(total);
+  for (size_t t = 0; t < workers.size(); ++t) {
+    Result& r = workers[t].res;
+    const auto& remap = remaps[t];
+    for (size_t k = 0; k < r.vocab.size(); ++k) {
+      int32_t v = r.vocab[k];
+      if (v >= n_base_vocab) v = remap[(size_t)(v - n_base_vocab)];
+      out->vocab.push_back(v);
+    }
+    out->contig_id.insert(out->contig_id.end(), r.contig_id.begin(),
+                          r.contig_id.end());
+    out->pos.insert(out->pos.end(), r.pos.begin(), r.pos.end());
+    out->weight.insert(out->weight.end(), r.weight.begin(), r.weight.end());
+    out->alignment_count += r.alignment_count;
+    out->used_count += r.used_count;
+    out->read_count += r.read_count;
+  }
+}
+
+void run_parallel(Shared& sh, Result* out, int n_threads) {
+  std::string_view data = sh.data;
+  size_t n = data.size();
+  if (n_threads < 1) n_threads = 1;
+  size_t min_range = 1 << 20;  // 1 MB minimum per thread
+  size_t per = n / (size_t)n_threads;
+  if (per < min_range && n_threads > 1) {
+    n_threads = (int)std::max<size_t>(1, n / min_range);
+    per = n / (size_t)n_threads;
+  }
+
+  // line-aligned range starts + their global line numbers
+  std::vector<size_t> begins(n_threads + 1);
+  std::vector<int64_t> line_before(n_threads);
+  begins[0] = 0;
+  line_before[0] = 0;
+  for (int t = 1; t < n_threads; ++t) {
+    size_t b = per * (size_t)t;
+    size_t nl = data.find('\n', b);
+    begins[t] = (nl == std::string_view::npos) ? n : nl + 1;
+  }
+  begins[n_threads] = n;
+  // count newlines up to each begin (single memchr-driven pass)
+  {
+    size_t prev = 0;
+    int64_t lines = 0;
+    for (int t = 1; t < n_threads; ++t) {
+      const char* p = data.data() + prev;
+      const char* stop = data.data() + begins[t];
+      while (p < stop) {
+        const char* q = (const char*)memchr(p, '\n', (size_t)(stop - p));
+        if (!q) break;
+        ++lines;
+        p = q + 1;
+      }
+      prev = begins[t];
+      line_before[t] = lines;
+    }
+  }
+
+  std::vector<Worker> workers((size_t)n_threads);
+  for (auto& w : workers) {
+    w.sh = &sh;
+    w.interner.base = &sh.base_vocab;
+    w.interner.n_base = sh.n_base_vocab;
+    w.interner.new_strings = &w.new_strings;
+    memcpy(w.interner.char_ids, sh.base_char_ids, sizeof(sh.base_char_ids));
+  }
+
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) {
+    Worker& w = workers[(size_t)t];
+    size_t begin = begins[(size_t)t];
+    size_t hard_end = begins[(size_t)t + 1];
+    std::string_view prev_name =
+        (t == 0) ? std::string_view{}
+                 : last_aligned_name_before(data, begin);
+    int64_t start_line = line_before[(size_t)t];
+    if (n_threads == 1) {
+      run_range(w, begin, hard_end, prev_name, start_line);
+    } else {
+      threads.emplace_back([&w, begin, hard_end, prev_name, start_line]() {
+        run_range(w, begin, hard_end, prev_name, start_line);
+      });
+    }
+  }
+  for (auto& th : threads) th.join();
+
+  // deterministic error selection: smallest line number wins
+  int64_t best_line = INT64_MAX;
+  int best_t = -1;
+  for (size_t t = 0; t < workers.size(); ++t) {
+    if (workers[t].res.status != 0 && workers[t].err_line < best_line) {
+      best_line = workers[t].err_line;
+      best_t = (int)t;
+    }
+  }
+  if (best_t >= 0) {
+    out->status = 1;
+    out->error = workers[(size_t)best_t].res.error;
+    return;
+  }
+  merge_results(out, workers, sh.n_base_vocab);
+
+  if (out->alignment_count == 0) {
+    out->status = 1;
+    out->error = "no alignments in \"" + sh.filename + "\"";
   }
 }
 
@@ -440,62 +640,82 @@ struct PPResultView {
 PPResultView* pp_process_sam(const char* filename, const char* contig_names,
                              const int64_t* contig_lens, int64_t n_contigs,
                              const char* vocab_strs, int64_t n_vocab,
-                             int64_t max_errors, int32_t careful) {
+                             int64_t max_errors, int32_t careful,
+                             int32_t n_threads) {
   init_tables();
   auto* res = new Result();
   auto* view = new PPResultView();
   memset(view, 0, sizeof(*view));
   view->handle = res;
 
-  Context ctx;
-  ctx.res = res;
-  ctx.contig_lens = contig_lens;
-  ctx.max_errors = max_errors;
-  ctx.careful = careful != 0;
-  ctx.filename = filename;
-  ctx.interner.new_vocab = &res->new_vocab;
-  ctx.interner.n_new_vocab = &res->n_new_vocab;
-  ctx.interner.next_id = (int32_t)n_vocab;
-  for (int i = 0; i < 256; ++i) ctx.interner.char_ids[i] = -1;
+  auto* sh_owned = new Shared();
+  Shared& sh = *sh_owned;
+  sh.contig_lens = contig_lens;
+  sh.max_errors = max_errors;
+  sh.careful = careful != 0;
+  sh.filename = filename;
 
-  // contig table (names are backed by a persistent copy in ctx)
-  ctx.contig_buf.assign(contig_names);
+  sh.contig_buf.assign(contig_names);
   {
     size_t start = 0;
     int32_t idx = 0;
-    while (idx < n_contigs && start <= ctx.contig_buf.size()) {
-      size_t nl = ctx.contig_buf.find('\n', start);
-      if (nl == std::string::npos) nl = ctx.contig_buf.size();
-      ctx.contig_ids.emplace(
-          std::string_view(ctx.contig_buf.data() + start, nl - start), idx);
+    while (idx < n_contigs && start <= sh.contig_buf.size()) {
+      size_t nl = sh.contig_buf.find('\n', start);
+      if (nl == std::string::npos) nl = sh.contig_buf.size();
+      sh.contig_ids.emplace(
+          std::string_view(sh.contig_buf.data() + start, nl - start), idx);
       start = nl + 1;
       ++idx;
     }
   }
-  // vocab table
-  ctx.vocab_buf.assign(vocab_strs);
+  sh.n_base_vocab = (int32_t)n_vocab;
+  for (int i = 0; i < 256; ++i) sh.base_char_ids[i] = -1;
   {
+    std::string vb(vocab_strs);
     size_t start = 0;
     int32_t idx = 0;
-    while (idx < n_vocab && start <= ctx.vocab_buf.size()) {
-      size_t nl = ctx.vocab_buf.find('\n', start);
-      if (nl == std::string::npos) nl = ctx.vocab_buf.size();
-      std::string s = ctx.vocab_buf.substr(start, nl - start);
-      ctx.interner.map.emplace(s, idx);
-      if (s.size() == 1) ctx.interner.char_ids[(unsigned char)s[0]] = idx;
+    while (idx < n_vocab && start <= vb.size()) {
+      size_t nl = vb.find('\n', start);
+      if (nl == std::string::npos) nl = vb.size();
+      std::string s = vb.substr(start, nl - start);
+      sh.base_vocab.emplace(s, idx);
+      if (s.size() == 1) sh.base_char_ids[(unsigned char)s[0]] = idx;
       start = nl + 1;
       ++idx;
     }
   }
 
-  run_file(ctx);
+  // load the whole file (string_views into it stay valid group-wide)
+  std::string* data_owned = new std::string();
+  bool load_ok = true;
+  FILE* f = fopen(filename, "rb");
+  if (!f) {
+    load_ok = false;
+  } else {
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    data_owned->resize((size_t)fsize);
+    if (fsize > 0 &&
+        fread(data_owned->data(), 1, (size_t)fsize, f) != (size_t)fsize) {
+      load_ok = false;
+    }
+    fclose(f);
+  }
+  if (!load_ok) {
+    res->status = 1;
+    res->error = "unable to load alignments from \"" + sh.filename + "\"";
+  } else {
+    sh.data = std::string_view(*data_owned);
+    run_parallel(sh, res, n_threads);
+  }
 
   view->contig_id = res->contig_id.data();
   view->pos = res->pos.data();
   view->vocab = res->vocab.data();
   view->weight = res->weight.data();
   view->n_events = (int64_t)res->pos.size();
-  view->new_vocab = res->new_vocab.data();
+  view->new_vocab = res->new_vocab.c_str();
   view->new_vocab_len = (int64_t)res->new_vocab.size();
   view->n_new_vocab = res->n_new_vocab;
   view->alignment_count = res->alignment_count;
@@ -503,6 +723,8 @@ PPResultView* pp_process_sam(const char* filename, const char* contig_names,
   view->read_count = res->read_count;
   view->status = res->status;
   view->error = res->error.c_str();
+  delete data_owned;  // events no longer reference the text after merge
+  delete sh_owned;
   return view;
 }
 

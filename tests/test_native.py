@@ -53,6 +53,40 @@ def test_native_matches_python(tmp_path, seed, careful):
         np.testing.assert_array_equal(p_w, n_w)
 
 
+@pytest.mark.parametrize("n_threads", [2, 4, 7])
+def test_native_multithreaded_bit_exact(tmp_path, n_threads):
+    """Thread-count invariance: any thread count must produce the exact
+    same event stream, stats, and vocab order as single-threaded.
+
+    The 1 MB minimum range is monkeypatched around by generating a file
+    big enough to actually split."""
+    fasta, sam_text = synth.make_polish_case(
+        seed=11, genome_len=20_000, n_reads=12_000, read_len=60, err=0.05
+    )
+    asm = tmp_path / "asm.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "aln.sam"
+    sam.write_text(sam_text)
+    assert sam.stat().st_size > 2 * (1 << 20), "test file too small to split"
+
+    fa = load_fasta(asm)
+    results = []
+    for threads in (1, n_threads):
+        votes = pack.new_votes_from_fasta(fa)
+        vocab = Vocab()
+        stats = loader.process_sam_native(
+            str(sam), votes, vocab, 10, False, n_threads=threads
+        )
+        p, v, w = votes["contig_1"].finalize()
+        results.append((stats, vocab.strings, p, v, w))
+    (s1, voc1, p1, v1, w1), (sn, vocn, pn, vn, wn) = results
+    assert s1 == sn
+    assert voc1 == vocn
+    np.testing.assert_array_equal(p1, pn)
+    np.testing.assert_array_equal(v1, vn)
+    np.testing.assert_array_equal(w1, wn)
+
+
 def test_native_end_to_end(tmp_path):
     import io
 
