@@ -94,9 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="Ignore any reads with multiple alignments",
     )
     p.add_argument(
-        "--backend", default="auto", choices=("auto", "host", "xla", "pallas"),
+        "--backend", default="auto",
+        choices=("auto", "host", "xla", "pallas", "sharded"),
         help="Vote/consensus execution backend (default: auto = device if "
-        "a TPU is attached, else host)",
+        "a TPU is attached, else host; 'sharded' = SPMD over all devices)",
     )
     p.add_argument(
         "--pure-python", action="store_true",

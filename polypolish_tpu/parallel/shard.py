@@ -167,7 +167,7 @@ def sharded_vote_consensus(
         jnp.asarray(pad_p(np.asarray(orig_id, np.int32), 0)),
     )
     return (
-        np.asarray(counts)[:, :num_positions],
-        np.asarray(new_id)[:num_positions],
-        np.asarray(status)[:num_positions],
+        np.array(counts)[:, :num_positions],
+        np.array(new_id)[:num_positions],
+        np.array(status)[:num_positions],
     )

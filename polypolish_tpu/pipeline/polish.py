@@ -355,6 +355,19 @@ def _polish_device(
         depth, min_depth, fraction_valid, fraction_invalid
     )
 
+    if backend == "sharded":
+        from polypolish_tpu.parallel import make_mesh, sharded_vote_consensus
+
+        mesh = _MODEL_CACHE.get("mesh")
+        if mesh is None:
+            mesh = make_mesh()
+            _MODEL_CACHE["mesh"] = mesh
+        counts, new_id, status = sharded_vote_consensus(
+            mesh, pos, vid, seq_len,
+            valid_thr, invalid_thr, low_depth, orig_id,
+        )
+        return counts, new_id, status, depth, sparse, valid_thr, invalid_thr
+
     p_pad = _pad_bucket(seq_len)
     i32max = np.int32(2**31 - 1)
 

@@ -60,7 +60,7 @@ def _run_pipeline(tmp_path, fasta, sam_texts, backend, tag, **kwargs):
     return _parse_fasta_out(out.getvalue()), debug_lines[1:], out.getvalue()
 
 
-@pytest.mark.parametrize("backend", ["host", "xla", "pallas"])
+@pytest.mark.parametrize("backend", ["host", "xla", "pallas", "sharded"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_polish_matches_oracle(tmp_path, backend, seed):
     fasta, sam_text = synth.make_polish_case(seed=seed)
