@@ -27,6 +27,17 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+class _PPChunksView(ctypes.Structure):
+    _fields_ = [
+        ("chunk_pos", ctypes.POINTER(ctypes.c_int32)),
+        ("chunk_vocab", ctypes.POINTER(ctypes.c_int32)),
+        ("chunk_tile", ctypes.POINTER(ctypes.c_int32)),
+        ("n_chunks", ctypes.c_int64),
+        ("n_tiles", ctypes.c_int64),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
 class _PPResultView(ctypes.Structure):
     _fields_ = [
         ("contig_id", ctypes.POINTER(ctypes.c_int32)),
@@ -87,8 +98,50 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.pp_free_result.argtypes = [ctypes.POINTER(_PPResultView)]
         lib.pp_free_result.restype = None
+        lib.pp_prepare_chunks.restype = ctypes.POINTER(_PPChunksView)
+        lib.pp_prepare_chunks.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),     # pos
+            ctypes.POINTER(ctypes.c_int32),     # vocab
+            ctypes.c_int64,                     # n events
+            ctypes.c_int64,                     # num_positions
+            ctypes.c_int32,                     # tile_p
+            ctypes.c_int32,                     # e_sub
+        ]
+        lib.pp_free_chunks.argtypes = [ctypes.POINTER(_PPChunksView)]
+        lib.pp_free_chunks.restype = None
         _lib = lib
         return _lib
+
+
+def prepare_chunks_native(pos, vocab, num_positions, tile_p, e_sub):
+    """C++ counting-sort chunk prep (layout-identical to the numpy
+    version in ops/vote_pallas.py)."""
+    lib = load_library()
+    assert lib is not None
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    vocab = np.ascontiguousarray(vocab, dtype=np.int32)
+    view = lib.pp_prepare_chunks(
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vocab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pos.shape[0], num_positions, tile_p, e_sub,
+    )
+    try:
+        v = view.contents
+        n_chunks = int(v.n_chunks)
+        n_tiles = int(v.n_tiles)
+        e_b = e_sub * 128
+        chunk_pos = np.ctypeslib.as_array(
+            v.chunk_pos, shape=(n_chunks * e_b,)
+        ).copy().reshape(n_chunks * e_sub, 128)
+        chunk_vocab = np.ctypeslib.as_array(
+            v.chunk_vocab, shape=(n_chunks * e_b,)
+        ).copy().reshape(n_chunks * e_sub, 128)
+        chunk_tile = np.ctypeslib.as_array(
+            v.chunk_tile, shape=(n_chunks,)
+        ).copy()
+        return chunk_pos, chunk_vocab, chunk_tile, n_tiles
+    finally:
+        lib.pp_free_chunks(view)
 
 
 def _transfer_safe(s: str) -> str:

@@ -734,4 +734,95 @@ void pp_free_result(PPResultView* view) {
   delete view;
 }
 
+// ---------------------------------------------------------------------
+// Chunk preparation for the Pallas vote kernel: counting-sort dense-tier
+// events into per-position-tile chunks padded to e_sub*128 slots (the
+// C++ twin of ops/vote_pallas.py::prepare_chunks — bit-identical layout
+// because the counting sort is stable like numpy's kind='stable').
+// ---------------------------------------------------------------------
+
+struct ChunkBuffers {
+  std::vector<int32_t> chunk_pos;
+  std::vector<int32_t> chunk_vocab;
+  std::vector<int32_t> chunk_tile;
+};
+
+struct PPChunksView {
+  const int32_t* chunk_pos;    // (n_chunks*e_sub, 128) row-major
+  const int32_t* chunk_vocab;
+  const int32_t* chunk_tile;   // (n_chunks,)
+  int64_t n_chunks;
+  int64_t n_tiles;
+  void* handle;
+};
+
+PPChunksView* pp_prepare_chunks(const int64_t* pos, const int32_t* vocab,
+                                int64_t n, int64_t num_positions,
+                                int32_t tile_p, int32_t e_sub) {
+  auto* buf = new ChunkBuffers();
+  auto* view = new PPChunksView();
+  memset(view, 0, sizeof(*view));
+  view->handle = buf;
+
+  const int64_t e_b = (int64_t)e_sub * 128;
+  int64_t n_tiles = (num_positions + tile_p - 1) / tile_p;
+  if (n_tiles < 1) n_tiles = 1;
+
+  // pass 1: per-tile dense-event counts
+  std::vector<int64_t> per_tile((size_t)n_tiles, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p = pos[i];
+    int32_t v = vocab[i];
+    if (v >= 0 && v < 8 && p >= 0 && p < num_positions)
+      ++per_tile[(size_t)(p / tile_p)];
+  }
+  std::vector<int64_t> chunks_per_tile((size_t)n_tiles);
+  int64_t n_chunks = 0;
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    int64_t c = (per_tile[(size_t)t] + e_b - 1) / e_b;
+    if (c < 1) c = 1;
+    chunks_per_tile[(size_t)t] = c;
+    n_chunks += c;
+  }
+
+  buf->chunk_pos.assign((size_t)(n_chunks * e_b), -1);
+  buf->chunk_vocab.assign((size_t)(n_chunks * e_b), 0);
+  buf->chunk_tile.resize((size_t)n_chunks);
+  std::vector<int64_t> write_at((size_t)n_tiles);
+  {
+    int64_t chunk_off = 0;
+    int64_t ci = 0;
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      write_at[(size_t)t] = chunk_off * e_b;
+      for (int64_t c = 0; c < chunks_per_tile[(size_t)t]; ++c)
+        buf->chunk_tile[(size_t)ci++] = (int32_t)t;
+      chunk_off += chunks_per_tile[(size_t)t];
+    }
+  }
+  // pass 2: stable scatter into chunk slots
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p = pos[i];
+    int32_t v = vocab[i];
+    if (v >= 0 && v < 8 && p >= 0 && p < num_positions) {
+      int64_t t = p / tile_p;
+      int64_t slot = write_at[(size_t)t]++;
+      buf->chunk_pos[(size_t)slot] = (int32_t)(p - t * tile_p);
+      buf->chunk_vocab[(size_t)slot] = v;
+    }
+  }
+
+  view->chunk_pos = buf->chunk_pos.data();
+  view->chunk_vocab = buf->chunk_vocab.data();
+  view->chunk_tile = buf->chunk_tile.data();
+  view->n_chunks = n_chunks;
+  view->n_tiles = n_tiles;
+  return view;
+}
+
+void pp_free_chunks(PPChunksView* view) {
+  if (!view) return;
+  delete static_cast<ChunkBuffers*>(view->handle);
+  delete view;
+}
+
 }  // extern "C"

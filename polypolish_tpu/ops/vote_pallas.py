@@ -80,12 +80,26 @@ def prepare_chunks(
     num_positions: int,
     tile_p: int = TILE_P,
     e_sub: int = E_SUB,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Bucket dense-tier events by position tile and pad to chunks.
 
     Returns (chunk_pos (C*e_sub, 128) int32, chunk_vocab likewise,
-    chunk_tile (C,) int32, n_tiles).
+    chunk_tile (C,) int32, n_tiles).  Uses the C++ counting-sort when
+    the native library is available (layout-identical).
     """
+    if use_native:
+        try:
+            from polypolish_tpu.native import binding, loader
+
+            if loader.available():
+                return binding.prepare_chunks_native(
+                    np.ascontiguousarray(pos, dtype=np.int64),
+                    np.ascontiguousarray(vocab, dtype=np.int32),
+                    num_positions, tile_p, e_sub,
+                )
+        except Exception:
+            pass
     e_b = e_sub * E_LANE
     mask = (vocab >= 0) & (vocab < DENSE_V) & (pos >= 0) & (pos < num_positions)
     pos = np.asarray(pos[mask], dtype=np.int64)
