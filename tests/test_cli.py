@@ -1,0 +1,112 @@
+"""CLI surface tests: subcommands, flags, exit codes, error rendering."""
+
+import io
+import sys
+
+import pytest
+
+import synth
+from oracle import oracle_polish
+
+from polypolish_tpu.cli import build_parser, main
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args(["polish", "asm.fasta", "a.sam", "b.sam"])
+    assert args.fraction_invalid == 0.2
+    assert args.fraction_valid == 0.5
+    assert args.max_errors == 10
+    assert args.min_depth == 5
+    assert args.careful is False
+    assert args.debug is None
+    assert args.sam == ["a.sam", "b.sam"]
+
+    args = build_parser().parse_args(
+        ["filter", "--in1", "a", "--in2", "b", "--out1", "c", "--out2", "d"]
+    )
+    assert args.orientation == "auto"
+    assert args.low == 0.1
+    assert args.high == 99.9
+
+
+def test_parser_short_flags():
+    args = build_parser().parse_args(
+        ["polish", "-i", "0.3", "-v", "0.6", "-m", "4", "-d", "2",
+         "--careful", "asm.fasta", "x.sam"]
+    )
+    assert args.fraction_invalid == 0.3
+    assert args.fraction_valid == 0.6
+    assert args.max_errors == 4
+    assert args.min_depth == 2
+    assert args.careful is True
+
+
+def test_cli_polish_end_to_end(tmp_path, capsys, monkeypatch):
+    fasta, sam_text = synth.make_polish_case(seed=20, n_reads=150)
+    asm = tmp_path / "asm.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "aln.sam"
+    sam.write_text(sam_text)
+
+    rc = main(["polish", "--backend", "host", str(asm), str(sam)])
+    assert rc == 0
+    captured = capsys.readouterr()
+    expected, _ = oracle_polish(fasta, [sam_text])
+    lines = captured.out.splitlines()
+    assert lines[0].startswith(">contig_1")
+    assert lines[1] == expected["contig_1"]
+
+
+def test_cli_missing_input_exits_1(tmp_path, capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["polish", str(tmp_path / "nope.fasta"), str(tmp_path / "x.sam")])
+    assert e.value.code == 1
+    err = capsys.readouterr().err
+    assert "Error:" in err
+    assert "does not exist" in err
+
+
+def test_cli_bad_fraction_exits_1(tmp_path, capsys):
+    fasta, sam_text = synth.make_polish_case(seed=21, n_reads=20)
+    asm = tmp_path / "asm.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "aln.sam"
+    sam.write_text(sam_text)
+    with pytest.raises(SystemExit) as e:
+        main(["polish", "-i", "0.6", "-v", "0.5", str(asm), str(sam)])
+    assert e.value.code == 1
+    assert "fraction_invalid" in capsys.readouterr().err
+
+
+def test_cli_filter_end_to_end(tmp_path):
+    sam1, sam2 = synth.make_filter_case(seed=22, n_pairs=100)
+    in1, in2 = tmp_path / "i1.sam", tmp_path / "i2.sam"
+    out1, out2 = tmp_path / "o1.sam", tmp_path / "o2.sam"
+    in1.write_text(sam1)
+    in2.write_text(sam2)
+    rc = main([
+        "filter", "--in1", str(in1), "--in2", str(in2),
+        "--out1", str(out1), "--out2", str(out2),
+    ])
+    assert rc == 0
+    assert out1.exists() and out2.exists()
+
+
+def test_cli_batch(tmp_path):
+    fasta, sam_text = synth.make_polish_case(seed=23, n_reads=100)
+    asm = tmp_path / "a.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "a.sam"
+    sam.write_text(sam_text)
+    out = tmp_path / "out.fasta"
+    manifest = tmp_path / "m.tsv"
+    manifest.write_text(f"{asm}\t{out}\t{sam}\n")
+    rc = main(["batch", "--backend", "host", str(manifest)])
+    assert rc == 0
+    assert out.read_text().startswith(">contig_1")
+
+
+def test_cli_version(capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
