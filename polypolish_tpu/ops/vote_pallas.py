@@ -49,7 +49,10 @@ E_LANE = 128  # event-tile lanes (= MXU contraction depth)
 E_B = E_SUB * E_LANE  # events per chunk
 
 
-def _make_vote_kernel(tile_p: int, e_sub: int):
+def _make_vote_kernel(tile_p: int, e_sub: int, mxu_dtype=jnp.float32):
+    """mxu_dtype: f32 (default) or int8 — int8 one-hots contract on the
+    MXU's int8 path (int32 accumulation), exact either way."""
+
     def _vote_kernel(tiles_ref, pos_ref, vocab_ref, out_ref):
         c = pl.program_id(0)
         prev_tile = tiles_ref[jnp.maximum(c - 1, 0)]
@@ -62,14 +65,19 @@ def _make_vote_kernel(tile_p: int, e_sub: int):
         vrow = jax.lax.broadcasted_iota(jnp.int32, (DENSE_V, E_LANE), 0)
         pcol = jax.lax.broadcasted_iota(jnp.int32, (E_LANE, tile_p), 1)
 
-        acc = jnp.zeros((DENSE_V, tile_p), jnp.float32)
+        acc = jnp.zeros((DENSE_V, tile_p), jnp.int32)
         for sub in range(e_sub):  # static unroll: e_sub MXU matmuls/chunk
             voc = vocab_ref[sub, :]  # (128,) int32
             pos = pos_ref[sub, :]  # (128,) int32, -1 = padding
-            a = (vrow == voc[None, :]).astype(jnp.float32)  # (8, 128)
-            b = (pcol == pos[:, None]).astype(jnp.float32)  # (128, tile_p)
-            acc = acc + jnp.dot(a, b, preferred_element_type=jnp.float32)
-        out_ref[:, :] += acc.astype(jnp.int32)
+            a = (vrow == voc[None, :]).astype(mxu_dtype)  # (8, 128)
+            b = (pcol == pos[:, None]).astype(mxu_dtype)  # (128, tile_p)
+            if mxu_dtype == jnp.int8:
+                acc = acc + jnp.dot(a, b, preferred_element_type=jnp.int32)
+            else:
+                acc = acc + jnp.dot(
+                    a, b, preferred_element_type=jnp.float32
+                ).astype(jnp.int32)
+        out_ref[:, :] += acc
 
     return _vote_kernel
 
@@ -136,7 +144,7 @@ def prepare_chunks(
 
 def _vote_pallas_call(
     chunk_pos, chunk_vocab, chunk_tile, n_tiles, interpret,
-    tile_p: int = TILE_P, e_sub: int = E_SUB,
+    tile_p: int = TILE_P, e_sub: int = E_SUB, use_int8: bool = False,
 ):
     n_chunks = chunk_pos.shape[0] // e_sub
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -152,7 +160,8 @@ def _vote_pallas_call(
     )
     flops = 2 * n_chunks * e_sub * DENSE_V * E_LANE * tile_p
     return pl.pallas_call(
-        _make_vote_kernel(tile_p, e_sub),
+        _make_vote_kernel(tile_p, e_sub,
+                          jnp.int8 if use_int8 else jnp.float32),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((DENSE_V, n_tiles * tile_p), jnp.int32),
         cost_estimate=pl.CostEstimate(
@@ -166,7 +175,7 @@ def _vote_pallas_call(
 
 _vote_pallas_jit = jax.jit(
     _vote_pallas_call,
-    static_argnames=("n_tiles", "interpret", "tile_p", "e_sub"),
+    static_argnames=("n_tiles", "interpret", "tile_p", "e_sub", "use_int8"),
 )
 
 
@@ -184,6 +193,7 @@ def dense_counts_pallas(
     interpret: Optional[bool] = None,
     tile_p: int = TILE_P,
     e_sub: int = E_SUB,
+    use_int8: bool = False,
 ) -> jnp.ndarray:
     """(8, P) int32 dense vote counts via the MXU one-hot-matmul kernel."""
     if interpret is None:
@@ -194,6 +204,6 @@ def dense_counts_pallas(
     out = _vote_pallas_jit(
         jnp.asarray(chunk_pos), jnp.asarray(chunk_vocab),
         jnp.asarray(chunk_tile), n_tiles=n_tiles, interpret=interpret,
-        tile_p=tile_p, e_sub=e_sub,
+        tile_p=tile_p, e_sub=e_sub, use_int8=use_int8,
     )
     return out[:, :num_positions]

@@ -65,6 +65,19 @@ def test_filter_nondefault_percentiles(tmp_path):
     assert got2 == _expected_output(sam2, v2)
 
 
+def test_filter_jax_grid_path(tmp_path, monkeypatch):
+    """Force the jitted JAX pair-grid path and check it matches the
+    numpy path's output exactly."""
+    from polypolish_tpu.pipeline import filtering
+
+    sam1, sam2 = synth.make_filter_case(seed=9, n_pairs=200, multi_frac=0.8)
+    v1, v2, _, _, _ = oracle_filter(sam1, sam2)
+    monkeypatch.setattr(filtering, "_JAX_GRID_THRESHOLD", 0)
+    got1, got2 = _run_filter(tmp_path, sam1, sam2, "jax")
+    assert got1 == _expected_output(sam1, v1)
+    assert got2 == _expected_output(sam2, v2)
+
+
 def test_filter_input_validation(tmp_path):
     sam1, sam2 = synth.make_filter_case(seed=5, n_pairs=10)
     in1 = tmp_path / "a.sam"

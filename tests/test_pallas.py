@@ -74,6 +74,16 @@ def test_pallas_tiling_configs(tile_p, e_sub):
     np.testing.assert_array_equal(host, out)
 
 
+def test_pallas_int8_variant():
+    rng = np.random.default_rng(11)
+    pos, vocab = _random_events(rng, 8000, 900)
+    host = dense_counts_host(pos, vocab, 900)
+    out = np.asarray(
+        dense_counts_pallas(pos, vocab, 900, interpret=True, use_int8=True)
+    )
+    np.testing.assert_array_equal(host, out)
+
+
 def test_pallas_heavy_single_position():
     # one position receiving thousands of votes (deep pileup)
     pos = np.zeros(5000, dtype=np.int64)
