@@ -125,6 +125,33 @@ def test_polish_output_header_format(tmp_path):
     assert first == ">contig_1 synthetic draft polypolish"
 
 
+def test_polish_assembly_with_odd_characters(tmp_path):
+    """Assembly containing N, IUPAC codes and lowercase (uppercased on
+    load) must round-trip through vocab interning and consensus."""
+    draft = "acgtNRYacgtACGTNNacgtACGTacgtACGT".upper()  # 33 bp
+    fasta = [("weird", "", draft)]
+    # reads copy the draft (so votes include N/R/Y characters), plus a
+    # cohort voting G at position 5 (0-based 4: draft N -> changed to G)
+    reads = []
+    for i in range(30):
+        seq = draft[2:28]
+        if i % 2 == 0:
+            seq = seq[:2] + "G" + seq[3:]
+        reads.append(
+            f"rd_{i:03d}\t0\tweird\t3\t60\t26M\t*\t0\t0\t{seq}\t*\tNM:i:3"
+        )
+    sam_text = "\n".join(["@HD\tVN:1.6"] + reads) + "\n"
+    expected, expected_debug = oracle_polish(
+        [("weird", "", draft.upper())], [sam_text], max_errors=20
+    )
+    got, got_debug, _ = _run_pipeline(
+        tmp_path, [("weird", "", draft.upper())], [sam_text], "host", "odd",
+        max_errors=20,
+    )
+    assert got == expected
+    assert got_debug == expected_debug
+
+
 def test_backends_agree(tmp_path):
     fasta, sam_text = synth.make_polish_case(seed=9)
     host, host_debug, _ = _run_pipeline(tmp_path, fasta, [sam_text], "host", "bh")
