@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--pure-python", action="store_true",
         help="Disable the native (C++) SAM packer",
     )
+    p.add_argument(
+        "--threads", type=int, default=None,
+        help="Native SAM packer threads (default: all cores, max 16; "
+        "output is bit-identical for any value)",
+    )
     p.add_argument("assembly", help="Assembly to polish (one file in FASTA format)")
     p.add_argument(
         "sam", nargs="+", help="Short read alignments (one or more files in SAM format)"
@@ -169,6 +174,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 args.assembly, args.sam,
                 backend=_resolve_backend(args.backend),
                 use_native=not args.pure_python,
+                n_threads=args.threads,
             )
         elif args.command == "batch":
             from polypolish_tpu.pipeline.batch import parse_manifest, polish_batch

@@ -42,8 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from polypolish_tpu.vocab import DENSE_V
 
-# Defaults (tuned on TPU v5e, 50x-coverage-shaped workloads).
-TILE_P = 512  # positions per output tile (lane-dim multiple of 128)
+# Defaults (tuned on TPU v5e, 50x-coverage-shaped workloads; see
+# BENCH_NOTES.md — the sweep favoured tile_p=256, e_sub=8).
+TILE_P = 256  # positions per output tile (lane-dim multiple of 128)
 E_SUB = 8  # event-tile sublanes per chunk
 E_LANE = 128  # event-tile lanes (= MXU contraction depth)
 E_B = E_SUB * E_LANE  # events per chunk

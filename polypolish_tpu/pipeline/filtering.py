@@ -369,8 +369,10 @@ def _rewrite_sam(in_filename: str, out_filename: str, verdicts: np.ndarray) -> i
             if sam_line.startswith("@"):
                 fout.write(sam_line + "\n")
                 continue
-            a = parse_alignment_quick(sam_line)
-            if not a.is_aligned():
+            # only the FLAG field is needed here; the first pass already
+            # validated the full records
+            parts = sam_line.split("\t", 2)
+            if len(parts) < 3 or (int(parts[1]) & 4) != 0:
                 fout.write(sam_line + "\n")
                 continue
             if verdicts[idx]:

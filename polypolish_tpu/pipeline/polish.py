@@ -56,6 +56,7 @@ def polish(
     out: Optional[TextIO] = None,
     backend: str = "host",
     use_native: bool = True,
+    n_threads: Optional[int] = None,
 ) -> List[Tuple[str, int]]:
     """Run the full polish workflow; returns [(name, new_length)]."""
     start_time = time.monotonic()
@@ -73,7 +74,9 @@ def polish(
         seq_names, votes = load_assembly(assembly)
     vocab = Vocab()
     with phase("load_alignments"):
-        load_alignments(max_errors, careful, sam, votes, vocab, use_native)
+        load_alignments(
+            max_errors, careful, sam, votes, vocab, use_native, n_threads
+        )
     with phase("polish_sequences"), maybe_trace():
         new_lengths = polish_sequences(
             debug, fraction_invalid, fraction_valid, min_depth,
@@ -166,12 +169,13 @@ def load_alignments(
     votes: Dict[str, pack.ContigVotes],
     vocab: Vocab,
     use_native: bool = True,
+    n_threads: Optional[int] = None,
 ) -> None:
     """Reference: polish.rs:109-134."""
     log.section_header("Loading alignments")
     alignment_total = 0
     used_total = 0
-    process = _select_sam_processor(use_native)
+    process = _select_sam_processor(use_native, n_threads)
     for s in sam:
         alignment_count, used_count, read_count = process(
             s, votes, vocab, max_errors, careful
@@ -196,13 +200,17 @@ def load_alignments(
     log.eprint()
 
 
-def _select_sam_processor(use_native: bool):
+def _select_sam_processor(use_native: bool, n_threads: Optional[int] = None):
     if use_native:
         try:
+            import functools
+
             from polypolish_tpu.native import loader
 
             if loader.available():
-                return loader.process_sam_native
+                return functools.partial(
+                    loader.process_sam_native, n_threads=n_threads
+                )
         except Exception:
             pass
     return pack.process_sam
