@@ -102,10 +102,13 @@ def prepare_chunks(
             from polypolish_tpu.native import binding, loader
 
             if loader.available():
-                return binding.prepare_chunks_native(
-                    np.ascontiguousarray(pos, dtype=np.int64),
-                    np.ascontiguousarray(vocab, dtype=np.int32),
-                    num_positions, tile_p, e_sub,
+                return _pad_chunk_count(
+                    *binding.prepare_chunks_native(
+                        np.ascontiguousarray(pos, dtype=np.int64),
+                        np.ascontiguousarray(vocab, dtype=np.int32),
+                        num_positions, tile_p, e_sub,
+                    ),
+                    e_sub=e_sub,
                 )
         except Exception:
             pass
@@ -140,7 +143,36 @@ def prepare_chunks(
     flat_vocab[dst] = vocab
     chunk_pos = flat_pos.reshape(n_chunks * e_sub, E_LANE)
     chunk_vocab = flat_vocab.reshape(n_chunks * e_sub, E_LANE)
-    return chunk_pos, chunk_vocab, chunk_tile, n_tiles
+    return _pad_chunk_count(
+        chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub=e_sub
+    )
+
+
+def _pad_chunk_count(chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub):
+    """Round the chunk count up to a geometric bucket (<= 12.5% extra)
+    so the kernel's jitted shape is shared across event counts instead of
+    recompiling per contig/file (compiles cost minutes on some backends).
+
+    Pad chunks carry only pad events (pos -1) and map to the last tile,
+    so they re-accumulate zeros and never touch the is_first logic.
+    """
+    n_chunks = chunk_tile.shape[0]
+    n = max(int(n_chunks), 8)
+    shift = max(n.bit_length() - 1 - 3, 0)
+    step = 1 << shift
+    padded = -(-n // step) * step
+    if padded == n_chunks:
+        return chunk_pos, chunk_vocab, chunk_tile, n_tiles
+    extra = padded - n_chunks
+    pad_pos = np.full((extra * e_sub, E_LANE), -1, dtype=np.int32)
+    pad_vocab = np.zeros((extra * e_sub, E_LANE), dtype=np.int32)
+    pad_tile = np.full(extra, n_tiles - 1, dtype=np.int32)
+    return (
+        np.concatenate([chunk_pos, pad_pos]),
+        np.concatenate([chunk_vocab, pad_vocab]),
+        np.concatenate([chunk_tile, pad_tile]),
+        n_tiles,
+    )
 
 
 def _vote_pallas_call(
