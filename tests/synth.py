@@ -163,6 +163,45 @@ def _nm_vs_draft(seq: str, cigar: str, draft: str, pos: int) -> int:
     return nm
 
 
+def make_multi_contig_case(
+    seed: int = 0, n_contigs: int = 3, **kwargs
+) -> Tuple[List[Tuple[str, str, str]], str]:
+    """Multi-contig assembly + one SAM mixing reads from every contig
+    (read groups stay consecutive; group order interleaves contigs)."""
+    rng = np.random.default_rng(seed + 999)
+    fastas = []
+    groups: List[List[str]] = []
+    for c in range(n_contigs):
+        fasta, sam_text = make_polish_case(
+            seed=seed + c, contig_name=f"ctg_{c}", **kwargs
+        )
+        fastas.extend(fasta)
+        header_done = False
+        cur: List[str] = []
+        cur_name = None
+        for line in sam_text.splitlines():
+            if line.startswith("@"):
+                continue
+            name = line.split("\t", 1)[0]
+            renamed = f"c{c}_{name}"
+            line = renamed + line[len(name):]
+            if cur_name != renamed:
+                if cur:
+                    groups.append(cur)
+                cur = []
+                cur_name = renamed
+            cur.append(line)
+        if cur:
+            groups.append(cur)
+    order = rng.permutation(len(groups))
+    lines = ["@HD\tVN:1.6"]
+    for c in range(n_contigs):
+        lines.append(f"@SQ\tSN:ctg_{c}\tLN:{len(fastas[c][2])}")
+    for gi in order:
+        lines.extend(groups[gi])
+    return fastas, "\n".join(lines) + "\n"
+
+
 def fasta_text(records: List[Tuple[str, str, str]]) -> str:
     out = []
     for name, desc, seq in records:

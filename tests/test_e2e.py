@@ -125,6 +125,25 @@ def test_polish_output_header_format(tmp_path):
     assert first == ">contig_1 synthetic draft polypolish"
 
 
+@pytest.mark.parametrize("backend,use_native", [
+    ("host", False), ("xla", False), ("host", True),
+])
+def test_polish_multi_contig(tmp_path, backend, use_native):
+    fasta, sam_text = synth.make_multi_contig_case(
+        seed=30, n_contigs=3, genome_len=400, n_reads=250
+    )
+    expected, expected_debug = oracle_polish(fasta, [sam_text])
+    got, got_debug, raw = _run_pipeline(
+        tmp_path, fasta, [sam_text], backend, f"mc_{backend}_{use_native}",
+        use_native=use_native,
+    )
+    assert got == expected
+    assert got_debug == expected_debug
+    # output order follows the assembly's contig order
+    headers = [l for l in raw.splitlines() if l.startswith(">")]
+    assert [h[1:].split()[0] for h in headers] == ["ctg_0", "ctg_1", "ctg_2"]
+
+
 def test_polish_assembly_with_odd_characters(tmp_path):
     """Assembly containing N, IUPAC codes and lowercase (uppercased on
     load) must round-trip through vocab interning and consensus."""
