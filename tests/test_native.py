@@ -87,6 +87,64 @@ def test_native_multithreaded_bit_exact(tmp_path, n_threads):
     np.testing.assert_array_equal(w1, wn)
 
 
+def test_native_group_spanning_many_ranges(tmp_path):
+    """A single read group larger than the per-thread range (one read
+    with tens of thousands of alignment locations) must be processed by
+    exactly one thread."""
+    rng = np.random.default_rng(12)
+    genome = synth.rand_seq(rng, 50_000)
+    fasta = [("ctg", "", genome)]
+    lines = ["@HD\tVN:1.6"]
+    seq = genome[100:200]
+    # primary + ~150k secondaries for ONE read (~6.6 MB of SAM)
+    lines.append(
+        f"mega\t0\tctg\t101\t60\t100M\t*\t0\t0\t{seq}\t{'K' * 100}\tNM:i:0"
+    )
+    for i in range(150_000):
+        p = int(rng.integers(0, 49_900))
+        nm = synth.hamming(seq, genome[p:p + 100])
+        lines.append(
+            f"mega\t256\tctg\t{p + 1}\t0\t100M\t*\t0\t0\t*\t*\tNM:i:{nm}"
+        )
+    # a couple of normal reads after the mega-group
+    for i in range(50):
+        p = int(rng.integers(0, 49_900))
+        s = genome[p:p + 100]
+        lines.append(
+            f"tail_{i:03d}\t0\tctg\t{p + 1}\t60\t100M\t*\t0\t0\t{s}"
+            f"\t{'K' * 100}\tNM:i:0"
+        )
+    sam = tmp_path / "mega.sam"
+    sam.write_text("\n".join(lines) + "\n")
+    assert sam.stat().st_size > 3 * (1 << 20)
+
+    asm = tmp_path / "asm.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    fa = load_fasta(asm)
+    results = []
+    for threads in (1, 4):
+        votes = pack.new_votes_from_fasta(fa)
+        vocab = Vocab()
+        stats = loader.process_sam_native(
+            str(sam), votes, vocab, 10, False, n_threads=threads
+        )
+        p, v, w = votes["ctg"].finalize()
+        results.append((stats, p, v, w))
+    (s1, p1, v1, w1), (s4, p4, v4, w4) = results
+    assert s1 == s4
+    np.testing.assert_array_equal(p1, p4)
+    np.testing.assert_array_equal(v1, v4)
+    np.testing.assert_array_equal(w1, w4)
+    # cross-check against the Python packer too
+    votes = pack.new_votes_from_fasta(fa)
+    stats_py = pack.process_sam(str(sam), votes, Vocab(), 10, False)
+    assert stats_py == s1
+    pp, vp, wp = votes["ctg"].finalize()
+    np.testing.assert_array_equal(pp, p1)
+    np.testing.assert_array_equal(vp, v1)
+    np.testing.assert_array_equal(wp, w1)
+
+
 def test_native_end_to_end(tmp_path):
     import io
 
