@@ -165,6 +165,18 @@ def process_sam_native(
     Parallel across file ranges; output is bit-identical for any thread
     count (see sam_packer.cc header comment).
     """
+    try:
+        with open(filename, "rb") as f:
+            head = f.read(2)
+    except OSError:
+        quit_with_error(f'unable to load alignments from "{filename}"')
+    if len(head) == 2 and head[0] == 31 and head[1] == 139:
+        # gzipped SAM: the native packer reads plain text — use the
+        # (bit-identical) Python packer with transparent decompression
+        from polypolish_tpu.ops import pack
+
+        return pack.process_sam(filename, votes, vocab, max_errors, careful)
+
     lib = load_library()
     assert lib is not None
     if n_threads is None:

@@ -134,10 +134,13 @@ def process_sam(
     """Stream one SAM file into the vote accumulators.
 
     Returns (alignment_count, used_count, read_count); fatal errors match
-    the reference (alignment.rs:214-272).
+    the reference (alignment.rs:214-272).  Gzipped SAM is transparently
+    decompressed (extension; the reference reads plain SAM only).
     """
+    from polypolish_tpu.io.fasta import open_text_auto
+
     try:
-        f = open(filename, "rt", encoding="latin-1")
+        f = open_text_auto(filename)
     except OSError:
         quit_with_error(f'unable to load alignments from "{filename}"')
     with f:

@@ -150,8 +150,10 @@ def _load_one_file(
     name_index: Dict[str, int],
     ref_index: Dict[str, int],
 ) -> None:
+    from polypolish_tpu.io.fasta import open_text_auto
+
     try:
-        f = open(filename, "rt", encoding="latin-1")
+        f = open_text_auto(filename)
     except OSError:
         quit_with_error(f'unable to load alignments from "{filename}"')
     alignment_count = 0
@@ -355,12 +357,14 @@ def _rewrite_sam(in_filename: str, out_filename: str, verdicts: np.ndarray) -> i
     pass_count = 0
     fail_count = 0
     idx = 0
+    from polypolish_tpu.io.fasta import open_text_auto
+
     try:
-        fin = open(in_filename, "rt", encoding="latin-1")
+        fin = open_text_auto(in_filename)
     except OSError:
         quit_with_error(f'unable to load alignments from "{in_filename}"')
     try:
-        fout = open(out_filename, "wt", encoding="latin-1")
+        fout = open_text_auto(out_filename, "wt")
     except OSError:
         quit_with_error(f'unable to write alignments to "{out_filename}"')
     with fin, fout:
