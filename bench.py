@@ -142,6 +142,9 @@ def bench_xla(pos, vocab, num_positions, iters):
 
 
 def main():
+    from polypolish_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=20_000_000)
     ap.add_argument("--positions", type=int, default=2_000_000)

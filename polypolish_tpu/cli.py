@@ -157,6 +157,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         build_parser().print_help(sys.stderr)
         return 2
     args = build_parser().parse_args(argv)
+    from polypolish_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     try:
         if args.command == "filter":
             from polypolish_tpu.pipeline.filtering import filter_pairs

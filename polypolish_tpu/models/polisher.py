@@ -41,6 +41,9 @@ class PolisherModel:
         use_pallas: bool = True,
         interpret: Optional[bool] = None,
     ) -> None:
+        from polypolish_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.num_positions = num_positions
         self.n_tiles = max(1, -(-num_positions // TILE_P))
         self.use_pallas = use_pallas
