@@ -14,8 +14,6 @@ nested loop (filter.rs:352-377).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -31,7 +31,6 @@ pileups; e_sub trades grid-step overhead against padding waste.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
