@@ -132,6 +132,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     b.add_argument("--workers", type=int, default=None)
     b.add_argument("--pure-python", action="store_true")
+    b.add_argument(
+        "--resume", action="store_true",
+        help="Skip jobs whose output already exists and is newer than "
+        "its inputs",
+    )
     return parser
 
 
@@ -193,6 +198,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 backend=_resolve_backend(args.backend),
                 use_native=not args.pure_python,
                 workers=args.workers,
+                resume=args.resume,
             )
             if any("error" in r for r in results):
                 return 1

@@ -52,17 +52,35 @@ def polish_batch(
     backend: str = "host",
     use_native: bool = True,
     workers: Optional[int] = None,
+    resume: bool = False,
 ) -> List[Dict]:
     """Polish every (assembly, out_path, sams) job; returns per-genome
-    summaries [{'assembly', 'out', 'lengths' | 'error'}]."""
+    summaries [{'assembly', 'out', 'lengths' | 'error' | 'skipped'}].
+
+    With resume=True, jobs whose output already exists and is newer than
+    all of its inputs are skipped (crude per-genome checkpointing — the
+    reference has no resume at all, SURVEY.md §5).
+    """
     from polypolish_tpu.pipeline.polish import polish
 
     start = time.monotonic()
     if workers is None:
         workers = min(8, os.cpu_count() or 1, max(1, len(jobs)))
 
+    def _is_done(job) -> bool:
+        assembly, out_path, sams = job
+        try:
+            out_mtime = os.path.getmtime(out_path)
+            return all(
+                out_mtime >= os.path.getmtime(p) for p in [assembly] + sams
+            ) and os.path.getsize(out_path) > 0
+        except OSError:
+            return False
+
     def run_one(job):
         assembly, out_path, sams = job
+        if resume and _is_done(job):
+            return {"assembly": assembly, "out": out_path, "skipped": True}
         try:
             with open(out_path, "w") as out:
                 lengths = polish(
@@ -84,10 +102,12 @@ def polish_batch(
                 results = list(pool.map(run_one, jobs))
 
     ok = sum(1 for r in results if "error" not in r)
+    skipped = sum(1 for r in results if r.get("skipped"))
     failed = [r for r in results if "error" in r]
     log.section_header("Batch polishing finished")
     print_log(f"Genomes polished: {ok}/{len(jobs)} "
-              f"(workers={workers}, backend={backend})")
+              f"(workers={workers}, backend={backend}"
+              + (f", {skipped} resumed/skipped" if skipped else "") + ")")
     for r in failed:
         print_log(f"  FAILED {r['assembly']}: {r['error']}")
     print_log(f"Time to run: {format_duration(time.monotonic() - start)}")

@@ -57,6 +57,22 @@ def test_polish_batch_reports_failures(tmp_path):
     assert "error" in results[1]
 
 
+def test_polish_batch_resume(tmp_path):
+    job, _, _ = _write_job(tmp_path, 2, "r")
+    r1 = polish_batch([job], workers=1)
+    assert "error" not in r1[0] and not r1[0].get("skipped")
+    r2 = polish_batch([job], workers=1, resume=True)
+    assert r2[0].get("skipped") is True
+    # touch an input -> job reruns
+    import os
+    import time as _t
+
+    _t.sleep(0.01)
+    os.utime(job[0])
+    r3 = polish_batch([job], workers=1, resume=True)
+    assert not r3[0].get("skipped")
+
+
 def test_parse_manifest(tmp_path):
     m = tmp_path / "manifest.tsv"
     m.write_text(
