@@ -74,6 +74,21 @@ def test_pallas_tiling_configs(tile_p, e_sub):
     np.testing.assert_array_equal(host, out)
 
 
+def test_prepare_chunks_native_matches_numpy():
+    from polypolish_tpu.native import loader
+
+    if not loader.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    for num_positions, n_events in ((900, 8000), (5000, 0), (300, 50000)):
+        pos, vocab = _random_events(rng, n_events, num_positions)
+        a = prepare_chunks(pos, vocab, num_positions, use_native=False)
+        b = prepare_chunks(pos, vocab, num_positions, use_native=True)
+        assert a[3] == b[3]
+        for x, y in zip(a[:3], b[:3]):
+            np.testing.assert_array_equal(x, y)
+
+
 def test_pallas_int8_variant():
     rng = np.random.default_rng(11)
     pos, vocab = _random_events(rng, 8000, 900)
