@@ -38,6 +38,21 @@ class _PPChunksView(ctypes.Structure):
     ]
 
 
+class _PPQuickView(ctypes.Structure):
+    _fields_ = [
+        ("flags", ctypes.POINTER(ctypes.c_int32) * 2),
+        ("ref_id", ctypes.POINTER(ctypes.c_int32) * 2),
+        ("start", ctypes.POINTER(ctypes.c_int64) * 2),
+        ("end", ctypes.POINTER(ctypes.c_int64) * 2),
+        ("name_id", ctypes.POINTER(ctypes.c_int64) * 2),
+        ("n", ctypes.c_int64 * 2),
+        ("n_names", ctypes.c_int64 * 2),
+        ("status", ctypes.c_int),
+        ("error", ctypes.c_char_p),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
 class _PPResultView(ctypes.Structure):
     _fields_ = [
         ("contig_id", ctypes.POINTER(ctypes.c_int32)),
@@ -109,8 +124,48 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.pp_free_chunks.argtypes = [ctypes.POINTER(_PPChunksView)]
         lib.pp_free_chunks.restype = None
+        lib.pp_quick_parse_pair.restype = ctypes.POINTER(_PPQuickView)
+        lib.pp_quick_parse_pair.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.pp_free_quick.argtypes = [ctypes.POINTER(_PPQuickView)]
+        lib.pp_free_quick.restype = None
         _lib = lib
         return _lib
+
+
+def quick_parse_pair(file1, file2):
+    """Quick-parse both paired SAM files with shared name/ref interning.
+
+    Returns a list of two dicts with numpy columns (flags, ref_id,
+    start, end, name_id) plus 'n_names'; raises PolypolishError on the
+    reference's fatal conditions.
+    """
+    lib = load_library()
+    assert lib is not None
+    view = lib.pp_quick_parse_pair(os.fsencode(file1), os.fsencode(file2))
+    try:
+        v = view.contents
+        if v.status != 0:
+            quit_with_error(v.error.decode("utf-8", errors="replace"))
+        out = []
+        for i in range(2):
+            n = int(v.n[i])
+
+            def arr(ptr, dtype):
+                if n == 0:
+                    return np.empty(0, dtype=dtype)
+                return np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+
+            out.append({
+                "flags": arr(v.flags[i], np.int32),
+                "ref_id": arr(v.ref_id[i], np.int32),
+                "start": arr(v.start[i], np.int64),
+                "end": arr(v.end[i], np.int64),
+                "name_id": arr(v.name_id[i], np.int64),
+                "n_names": int(v.n_names[i]),
+            })
+        return out
+    finally:
+        lib.pp_free_quick(view)
 
 
 def prepare_chunks_native(pos, vocab, num_positions, tile_p, e_sub):

@@ -825,4 +825,179 @@ void pp_free_chunks(PPChunksView* view) {
   delete view;
 }
 
+// ---------------------------------------------------------------------
+// Quick parse for the filter subcommand (alignment.rs:102-128 semantics):
+// both paired SAM files in one call with shared read-name / ref-name
+// interning, emitting per-file column arrays in file order.
+// ---------------------------------------------------------------------
+
+struct QuickFile {
+  std::vector<int32_t> flags;
+  std::vector<int32_t> ref_id;
+  std::vector<int64_t> start;
+  std::vector<int64_t> end;
+  std::vector<int64_t> name_id;
+  int64_t n_names = 0;
+};
+
+struct QuickBuffers {
+  QuickFile f[2];
+  int status = 0;
+  std::string error;
+};
+
+struct PPQuickView {
+  const int32_t* flags[2];
+  const int32_t* ref_id[2];
+  const int64_t* start[2];
+  const int64_t* end[2];
+  const int64_t* name_id[2];
+  int64_t n[2];
+  int64_t n_names[2];
+  int status;
+  const char* error;
+  void* handle;
+};
+
+// ref_end = ref_start + sum of M/D/N/=/X token lengths, replicating the
+// reference's regex scan (\d+[MIDNSHP=X] non-overlapping; a maximal
+// digit run counts only when immediately followed by a valid op).
+static int64_t quick_ref_end(std::string_view cigar, int64_t ref_start) {
+  int64_t end = ref_start;
+  size_t i = 0;
+  const size_t n = cigar.size();
+  while (i < n) {
+    if (cigar[i] >= '0' && cigar[i] <= '9') {
+      int64_t num = 0;
+      size_t d = i;
+      while (d < n && cigar[d] >= '0' && cigar[d] <= '9')
+        num = num * 10 + (cigar[d++] - '0');
+      if (d < n && is_cigar_op(cigar[d])) {
+        char op = cigar[d];
+        if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X')
+          end += num;
+        i = d + 1;
+      } else {
+        i = d + 1;  // digit run not followed by an op: no match here
+      }
+    } else {
+      ++i;
+    }
+  }
+  return end;
+}
+
+static bool quick_parse_file(const char* filename, QuickFile& out,
+                             std::unordered_map<std::string, int64_t>& names,
+                             std::unordered_map<std::string, int32_t>& refs,
+                             QuickBuffers& qb) {
+  FILE* f = fopen(filename, "rb");
+  std::string data;
+  bool ok = f != nullptr;
+  if (ok) {
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    data.resize((size_t)fsize);
+    if (fsize > 0 &&
+        fread(data.data(), 1, (size_t)fsize, f) != (size_t)fsize)
+      ok = false;
+    fclose(f);
+  }
+  if (!ok) {
+    qb.status = 1;
+    qb.error = std::string("unable to load alignments from \"") + filename +
+               "\"";
+    return false;
+  }
+
+  std::unordered_map<int64_t, char> seen_names;  // per-file distinct count
+  int64_t line_no = 0;
+  size_t off = 0;
+  while (off < data.size()) {
+    size_t nl = data.find('\n', off);
+    if (nl == std::string::npos) nl = data.size();
+    size_t llen = nl - off;
+    if (llen > 0 && data[off + llen - 1] == '\r') --llen;
+    ++line_no;
+    const char* line = data.data() + off;
+    off = nl + 1;
+    if (llen > 0 && line[0] == '@') continue;
+
+    // split first 11+ fields (the reference's new_quick requires >= 11)
+    const char* fields[12];
+    size_t flens[12];
+    int nf = 0;
+    const char* start = line;
+    const char* end_p = line + llen;
+    for (const char* q = line; q <= end_p && nf < 12; ++q) {
+      if (q == end_p || *q == '\t') {
+        fields[nf] = start;
+        flens[nf] = (size_t)(q - start);
+        ++nf;
+        start = q + 1;
+      }
+    }
+    if (nf < 11) {
+      qb.status = 1;
+      qb.error = std::string("too few columns in \"") + filename +
+                 "\" (line " + std::to_string(line_no) + ")";
+      return false;
+    }
+    uint32_t fl = (uint32_t)parse_int(std::string_view(fields[1], flens[1]));
+    if (fl & 4) continue;  // unaligned
+
+    std::string name(fields[0], flens[0]);
+    auto [nit, nnew] = names.emplace(std::move(name), (int64_t)names.size());
+    int64_t nid = nit->second;
+    if (seen_names.emplace(nid, 1).second) ++out.n_names;
+
+    std::string ref(fields[2], flens[2]);
+    auto [rit, rnew] = refs.emplace(std::move(ref), (int32_t)refs.size());
+
+    int64_t rs = parse_int(std::string_view(fields[3], flens[3]));
+    int64_t ref_start = rs > 0 ? rs - 1 : rs;
+    std::string_view cigar(fields[5], flens[5]);
+
+    out.flags.push_back((int32_t)fl);
+    out.ref_id.push_back(rit->second);
+    out.start.push_back(ref_start);
+    out.end.push_back(quick_ref_end(cigar, ref_start));
+    out.name_id.push_back(nid);
+  }
+  return true;
+}
+
+PPQuickView* pp_quick_parse_pair(const char* file1, const char* file2) {
+  auto* qb = new QuickBuffers();
+  auto* view = new PPQuickView();
+  memset(view, 0, sizeof(*view));
+  view->handle = qb;
+
+  std::unordered_map<std::string, int64_t> names;
+  std::unordered_map<std::string, int32_t> refs;
+  if (quick_parse_file(file1, qb->f[0], names, refs, *qb)) {
+    quick_parse_file(file2, qb->f[1], names, refs, *qb);
+  }
+
+  for (int i = 0; i < 2; ++i) {
+    view->flags[i] = qb->f[i].flags.data();
+    view->ref_id[i] = qb->f[i].ref_id.data();
+    view->start[i] = qb->f[i].start.data();
+    view->end[i] = qb->f[i].end.data();
+    view->name_id[i] = qb->f[i].name_id.data();
+    view->n[i] = (int64_t)qb->f[i].flags.size();
+    view->n_names[i] = qb->f[i].n_names;
+  }
+  view->status = qb->status;
+  view->error = qb->error.c_str();
+  return view;
+}
+
+void pp_free_quick(PPQuickView* view) {
+  if (!view) return;
+  delete static_cast<QuickBuffers*>(view->handle);
+  delete view;
+}
+
 }  // extern "C"

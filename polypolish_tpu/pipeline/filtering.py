@@ -31,7 +31,7 @@ _JAX_GRID_THRESHOLD = 1_000_000
 class _FileAlignments:
     """Column arrays for one SAM file's aligned records, in file order."""
 
-    __slots__ = ("flags", "ref_id", "start", "end", "name_idx", "by_name")
+    __slots__ = ("flags", "ref_id", "start", "end", "name_idx")
 
     def __init__(self) -> None:
         self.flags: List[int] = []
@@ -39,8 +39,6 @@ class _FileAlignments:
         self.start: List[int] = []
         self.end: List[int] = []
         self.name_idx: List[int] = []
-        # base-read-name index -> list of row indices in this file
-        self.by_name: Dict[int, List[int]] = {}
 
     def finalize(self) -> None:
         self.flags = np.asarray(self.flags, dtype=np.int32)
@@ -133,6 +131,10 @@ def load_alignments(
 ) -> Tuple[_FileAlignments, _FileAlignments]:
     """Reference: filter.rs:91-145."""
     log.section_header("Loading alignments")
+    native = _load_native(in1, in2)
+    if native is not None:
+        log.eprint()
+        return native
     files = (_FileAlignments(), _FileAlignments())
     for which, filename in ((0, in1), (1, in2)):
         _load_one_file(filename, files[which], name_index, ref_index)
@@ -142,6 +144,40 @@ def load_alignments(
     files[0].finalize()
     files[1].finalize()
     return files
+
+
+def _load_native(in1: str, in2: str):
+    """Native quick-parse path (plain-text inputs only); returns None to
+    fall back to the Python loader."""
+    try:
+        from polypolish_tpu.native import binding, loader
+
+        if not loader.available():
+            return None
+        for filename in (in1, in2):
+            with open(filename, "rb") as f:
+                head = f.read(2)
+            if len(head) == 2 and head[0] == 31 and head[1] == 139:
+                return None  # gzipped: Python path decompresses
+    except OSError:
+        return None
+    parsed = binding.quick_parse_pair(in1, in2)
+    files = []
+    for filename, cols in zip((in1, in2), parsed):
+        fa = _FileAlignments()
+        fa.flags = cols["flags"]
+        fa.ref_id = cols["ref_id"]
+        fa.start = cols["start"]
+        fa.end = cols["end"]
+        fa.name_idx = cols["name_id"]
+        files.append(fa)
+        log.eprint(
+            f"{filename}: {log.thousands(len(fa))} alignments from "
+            f"{log.thousands(cols['n_names'])} reads"
+        )
+    if len(files[0]) == 0:
+        quit_with_error(f'no alignments found in "{in1}"')
+    return files[0], files[1]
 
 
 def _load_one_file(
@@ -175,13 +211,11 @@ def _load_one_file(
                 continue
             nidx = name_index.setdefault(a.read_name, len(name_index))
             ridx = ref_index.setdefault(a.ref_name, len(ref_index))
-            row = len(fa.flags)
             fa.flags.append(a.sam_flags)
             fa.ref_id.append(ridx)
             fa.start.append(a.ref_start)
             fa.end.append(a.get_ref_end())
             fa.name_idx.append(nidx)
-            fa.by_name.setdefault(nidx, []).append(row)
             read_names.add(a.read_name)
             alignment_count += 1
     log.eprint(

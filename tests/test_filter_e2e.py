@@ -65,6 +65,22 @@ def test_filter_nondefault_percentiles(tmp_path):
     assert got2 == _expected_output(sam2, v2)
 
 
+def test_filter_python_loader_matches_native(tmp_path, monkeypatch):
+    """The Python fallback loader and the native pair quick-parse must
+    produce identical filter output."""
+    from polypolish_tpu.native import loader
+    from polypolish_tpu.pipeline import filtering
+
+    if not loader.available():
+        pytest.skip("native library unavailable")
+    sam1, sam2 = synth.make_filter_case(seed=8, n_pairs=150, multi_frac=0.5)
+    nat1, nat2 = _run_filter(tmp_path, sam1, sam2, "nat")
+    monkeypatch.setattr(filtering, "_load_native", lambda a, b: None)
+    py1, py2 = _run_filter(tmp_path, sam1, sam2, "py")
+    assert nat1 == py1
+    assert nat2 == py2
+
+
 def test_filter_jax_grid_path(tmp_path, monkeypatch):
     """Force the jitted JAX pair-grid path and check it matches the
     numpy path's output exactly."""
