@@ -281,7 +281,7 @@ def process_sam_native(
                 mask = contig_id == ci
                 if mask.any():
                     votes[name].extend_events(
-                        pos[mask].astype(np.int64), vid[mask], weight[mask]
+                        pos[mask], vid[mask], weight[mask]
                     )
         return int(v.alignment_count), int(v.used_count), int(v.read_count)
     finally:

@@ -48,7 +48,7 @@ class ContigVotes:
     """Per-contig vote-event accumulator (the reference's ``Pileup``).
 
     Events are stored as growable Python lists during streaming and
-    finalized into numpy arrays (pos:int64, vocab:int32, weight:f64) in
+    finalized into numpy arrays (pos:int32, vocab:int32, weight:f64) in
     stream order.
     """
 
@@ -82,7 +82,7 @@ class ContigVotes:
         """Return (pos, vocab, weight) arrays in stream order."""
         if self._final is None:
             self._final = (
-                _concat(self._pos, np.int64),
+                _concat(self._pos, np.int32),
                 _concat(self._vocab, np.int32),
                 _concat(self._weight, np.float64),
             )
