@@ -40,13 +40,19 @@ def depth_host(pos: np.ndarray, weight: np.ndarray, num_positions: int) -> np.nd
 def dense_counts_host(
     pos: np.ndarray, vocab: np.ndarray, num_positions: int
 ) -> np.ndarray:
-    """(8, P) int32 dense-tier counts via numpy bincount."""
-    mask = vocab < DENSE_V
-    dpos = pos[mask].astype(np.int64)
-    dv = vocab[mask].astype(np.int64)
-    flat = dv * num_positions + dpos
-    counts = np.bincount(flat, minlength=DENSE_V * num_positions)
-    return counts.reshape(DENSE_V, num_positions).astype(np.int32)
+    """(8, P) int32 dense-tier counts via numpy bincount.
+
+    One bincount per vocab row: peak temporary memory is O(P) instead of
+    the O(8P) int64 a flattened-key bincount would allocate (matters at
+    the 100 Mb-contig scale)."""
+    counts = np.zeros((DENSE_V, num_positions), dtype=np.int32)
+    for v in range(DENSE_V):
+        vpos = pos[vocab == v]
+        if vpos.size:
+            counts[v] = np.bincount(vpos, minlength=num_positions).astype(
+                np.int32, copy=False
+            )
+    return counts
 
 
 @functools.partial(jax.jit, static_argnames=("num_positions",))

@@ -39,7 +39,9 @@ def bankers_rounding_vec(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     rounded_down = np.trunc(x)
     fract = x - rounded_down
-    rd = rounded_down.astype(np.int64)
-    up = np.where(fract > 0.5, 1, 0)
-    tie = np.where(fract == 0.5, rd & 1, 0)
-    return rd + np.where(fract == 0.5, tie, up)
+    out = rounded_down.astype(np.int64)
+    out[fract > 0.5] += 1
+    ties = fract == 0.5
+    if ties.any():
+        out[ties] += out[ties] & 1
+    return out
