@@ -295,29 +295,36 @@ def polish_one_sequence(
         )
 
     # Override positions that have sparse-tier votes with the full
-    # candidate-list consensus (host; rare).
+    # candidate-list consensus (host; rare).  Dense counts at those few
+    # positions are gathered in one indexed fetch so device backends
+    # never transfer the whole (8, P) tensor unless --debug needs it.
     sp_pos, sp_vid, sp_cnt = sparse
     sparse_by_pos: Dict[int, List[Tuple[int, int]]] = {}
     for p, v, c in zip(sp_pos.tolist(), sp_vid.tolist(), sp_cnt.tolist()):
         sparse_by_pos.setdefault(p, []).append((v, c))
-    for p, extra in sparse_by_pos.items():
-        cands = [
-            (v, int(counts[v, p]))
-            for v in range(DENSE_V)
-            if v in (1, 2, 3, 4) or counts[v, p] > 0
-        ]
-        cands.extend(extra)
-        nid, st, _, _ = consensus_one_position(
-            cands, int(orig_id[p]), float(depth[p]),
-            min_depth, fraction_valid, fraction_invalid,
-        )
-        new_id[p] = nid
-        status[p] = st
+    if sparse_by_pos:
+        sp_unique = np.asarray(sorted(sparse_by_pos), dtype=np.int64)
+        sp_cols = np.asarray(counts[:, sp_unique])  # (8, n_sparse)
+        col_of = {int(p): i for i, p in enumerate(sp_unique)}
+        for p, extra in sparse_by_pos.items():
+            col = sp_cols[:, col_of[p]]
+            cands = [
+                (v, int(col[v]))
+                for v in range(DENSE_V)
+                if v in (1, 2, 3, 4) or col[v] > 0
+            ]
+            cands.extend(extra)
+            nid, st, _, _ = consensus_one_position(
+                cands, int(orig_id[p]), float(depth[p]),
+                min_depth, fraction_valid, fraction_invalid,
+            )
+            new_id[p] = nid
+            status[p] = st
 
     if debug_file is not None:
         _write_debug_lines(
             debug_file, name, contig.seq, depth, invalid_thr, valid_thr,
-            counts, sparse_by_pos, status, new_id, vocab,
+            np.asarray(counts), sparse_by_pos, status, new_id, vocab,
         )
 
     polished_seq = _apply_edits(contig.seq, status, new_id, vocab)
@@ -408,7 +415,9 @@ def _polish_device(
             jnp.asarray(pos, jnp.int32), jnp.asarray(vid, jnp.int32), p_pad
         )
         new_id_j, status_j = consensus_dense_jax(counts_j, *thr_args)
-    counts = np.asarray(counts_j)[:, :seq_len]
+    # counts stay a device array (sliced lazily); callers gather only
+    # the columns they need, or np.asarray() for --debug
+    counts = counts_j[:, :seq_len]
     new_id = np.array(new_id_j)[:seq_len]
     status = np.array(status_j)[:seq_len]
     return counts, new_id, status, depth, sparse, valid_thr, invalid_thr
