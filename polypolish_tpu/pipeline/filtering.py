@@ -369,19 +369,39 @@ def compute_verdicts(
         pair_rows = other_order[
             other_offsets[this.name_idx[seg]] + flat_k
         ]
-        mask_fn = (
-            pairfilter.good_pair_mask_jax
-            if seg.size >= _JAX_GRID_THRESHOLD
-            else pairfilter.good_pair_mask_numpy
-        )
-        good = mask_fn(
-            this.ref_id[seg], this.flags[seg], this.start[seg], this.end[seg],
-            other.ref_id[pair_rows], other.flags[pair_rows],
-            other.start[pair_rows], other.end[pair_rows],
-            low, high, correct_orientation,
-        )
-        has_good = pairfilter.segment_any(np.asarray(good, dtype=bool), seg, n)
-        verdict |= has_good
+        if seg.size >= _JAX_GRID_THRESHOLD:
+            # fully fused device step (grid mask + segment reduction)
+            import jax.numpy as jnp
+
+            from polypolish_tpu.models.pairscreen import pair_screen_step
+
+            verdict = np.array(pair_screen_step(
+                jnp.asarray(seg, jnp.int32),
+                jnp.asarray(this.ref_id[seg], jnp.int32),
+                jnp.asarray(this.flags[seg], jnp.int32),
+                jnp.asarray(this.start[seg], jnp.int32),
+                jnp.asarray(this.end[seg], jnp.int32),
+                jnp.asarray(other.ref_id[pair_rows], jnp.int32),
+                jnp.asarray(other.flags[pair_rows], jnp.int32),
+                jnp.asarray(other.start[pair_rows], jnp.int32),
+                jnp.asarray(other.end[pair_rows], jnp.int32),
+                jnp.int32(low), jnp.int32(high),
+                jnp.int32(correct_orientation),
+                jnp.asarray(reps == 0), jnp.asarray(this_count == 1),
+                num_alignments=n,
+            ))
+        else:
+            good = pairfilter.good_pair_mask_numpy(
+                this.ref_id[seg], this.flags[seg], this.start[seg],
+                this.end[seg],
+                other.ref_id[pair_rows], other.flags[pair_rows],
+                other.start[pair_rows], other.end[pair_rows],
+                low, high, correct_orientation,
+            )
+            has_good = pairfilter.segment_any(
+                np.asarray(good, dtype=bool), seg, n
+            )
+            verdict |= has_good
     return verdict
 
 
