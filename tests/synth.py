@@ -266,4 +266,20 @@ def make_filter_case(
             lines1.append(
                 f"solo_{i}\t4\t*\t0\t0\t*\t*\t0\t0\t{rand_seq(rng, read_len)}\t*"
             )
+        if rng.random() < 0.06:
+            # orphan: aligned (even multi-mapped) in file 1 only — the
+            # "no pair alignments -> pass" rule (filter.rs:362-364)
+            name_o = f"orph_{i:05d}"
+            for _ in range(int(rng.integers(1, 4))):
+                c2 = contig_names[int(rng.integers(0, len(contig_names)))]
+                pos_o = int(rng.integers(0, genome_len - read_len))
+                fl = 0 if rng.random() < 0.5 else 16
+                lines1.append(
+                    aln_line(name_o, fl, c2, pos_o,
+                             genomes[c2][pos_o:pos_o + read_len])
+                )
+            # its mate exists in file 2 but is unaligned
+            lines2.append(
+                f"{name_o}\t4\t*\t0\t0\t*\t*\t0\t0\t{rand_seq(rng, read_len)}\t*"
+            )
     return "\n".join(lines1) + "\n", "\n".join(lines2) + "\n"
