@@ -175,11 +175,15 @@ def load_alignments(
     log.section_header("Loading alignments")
     alignment_total = 0
     used_total = 0
-    process = _select_sam_processor(use_native, n_threads)
-    for s in sam:
-        alignment_count, used_count, read_count = process(
-            s, votes, vocab, max_errors, careful
-        )
+    stats_list = _load_files_parallel(
+        sam, votes, vocab, max_errors, careful, use_native, n_threads
+    )
+    if stats_list is None:
+        process = _select_sam_processor(use_native, n_threads)
+        stats_list = []
+        for s in sam:
+            stats_list.append(process(s, votes, vocab, max_errors, careful))
+    for s, (alignment_count, used_count, read_count) in zip(sam, stats_list):
         log.eprint(
             f"{s}: {log.thousands(alignment_count)} alignments from "
             f"{log.thousands(read_count)} reads"
@@ -198,6 +202,77 @@ def load_alignments(
     log.eprint(f"  {log.thousands(used_total)} alignments kept")
     log.eprint(f"  {log.thousands(discarded_count)} alignments discarded")
     log.eprint()
+
+
+def _load_files_parallel(
+    sam, votes, vocab, max_errors, careful, use_native, n_threads
+):
+    """Parse multiple SAM files concurrently via the native packer.
+
+    Each file is parsed into its own vote overlay with a snapshot copy
+    of the vocab; overlays are merged in file order with newly interned
+    ids deterministically remapped — the result is bit-identical to
+    sequential processing.  Returns per-file stats, or None to fall back
+    to the sequential path.
+    """
+    if not use_native or len(sam) < 2:
+        return None
+    try:
+        from polypolish_tpu.native import loader
+
+        if not loader.available():
+            return None
+        for s in sam:  # gzipped files take the Python fallback path
+            with open(s, "rb") as f:
+                head = f.read(2)
+            if len(head) == 2 and head[0] == 31 and head[1] == 139:
+                return None
+    except OSError:
+        return None
+
+    import concurrent.futures
+
+    from polypolish_tpu.native import binding
+
+    base_n = len(vocab.strings)
+    total_threads = n_threads or binding.default_threads()
+    per_file = max(1, total_threads // len(sam))
+
+    def parse_one(s):
+        local_vocab = vocab.clone()
+        local_votes = {
+            name: pack.ContigVotes(cv.name, cv.description, cv.seq)
+            for name, cv in votes.items()
+        }
+        stats = loader.process_sam_native(
+            s, local_votes, local_vocab, max_errors, careful,
+            n_threads=per_file,
+        )
+        return stats, local_votes, local_vocab
+
+    with concurrent.futures.ThreadPoolExecutor(len(sam)) as pool:
+        results = list(pool.map(parse_one, sam))
+
+    stats_list = []
+    for stats, local_votes, local_vocab in results:
+        remap = None
+        if len(local_vocab.strings) > base_n:
+            remap = np.asarray(
+                [vocab.intern(s) for s in local_vocab.strings[base_n:]],
+                dtype=np.int32,
+            )
+        for name, cv in local_votes.items():
+            p, v, w = cv.finalize()
+            if p.size == 0:
+                continue
+            if remap is not None:
+                high = v >= base_n
+                if high.any():
+                    v = v.copy()
+                    v[high] = remap[v[high] - base_n]
+            votes[name].extend_events(p, v, w)
+        stats_list.append(stats)
+    return stats_list
 
 
 def _select_sam_processor(use_native: bool, n_threads: Optional[int] = None):

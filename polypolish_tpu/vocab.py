@@ -75,5 +75,14 @@ class Vocab:
     def string(self, vid: int) -> str:
         return self.strings[vid]
 
+    def clone(self) -> "Vocab":
+        """Snapshot copy (used for per-file parallel interning, whose
+        new ids are deterministically remapped on merge)."""
+        c = Vocab.__new__(Vocab)
+        c.strings = list(self.strings)
+        c.index = dict(self.index)
+        c._char_ids = list(self._char_ids)
+        return c
+
     def __len__(self) -> int:
         return len(self.strings)

@@ -101,6 +101,24 @@ def test_polish_multiple_sam_files(tmp_path):
     assert got_debug == expected_debug
 
 
+def test_polish_multiple_sam_files_parallel_native(tmp_path):
+    """The concurrent multi-file native loader must be byte-identical to
+    the sequential path (including interleaved new vocab ids from
+    insertion strings in both files)."""
+    from polypolish_tpu.native import loader
+
+    if not loader.available():
+        pytest.skip("native library unavailable")
+    fasta, sam1 = synth.make_polish_case(seed=5, n_reads=300, err=0.1)
+    _, sam2 = synth.make_polish_case(seed=6, n_reads=300, err=0.1)
+    expected, expected_debug = oracle_polish(fasta, [sam1, sam2])
+    got, got_debug, _ = _run_pipeline(
+        tmp_path, fasta, [sam1, sam2], "host", "par_native", use_native=True
+    )
+    assert got == expected
+    assert got_debug == expected_debug
+
+
 def test_polish_nondefault_parameters(tmp_path):
     fasta, sam_text = synth.make_polish_case(seed=7)
     kwargs = dict(
