@@ -1,0 +1,74 @@
+"""Randomised differential fuzzing vs the oracle: many seeds, varied
+generator parameters, byte-exact output comparison."""
+
+import io
+
+import pytest
+
+import synth
+from oracle import oracle_filter, oracle_polish
+
+from polypolish_tpu.io.fasta import load_fasta
+from polypolish_tpu.pipeline.filtering import filter_pairs
+from polypolish_tpu.pipeline.polish import polish
+
+
+@pytest.mark.parametrize("seed", range(100, 110))
+def test_fuzz_polish(tmp_path, seed):
+    params = dict(
+        genome_len=300 + seed * 37 % 500,
+        n_reads=150 + seed * 13 % 300,
+        read_len=20 + seed % 40,
+        err=0.02 + (seed % 5) * 0.03,
+        multi_frac=(seed % 4) * 0.15,
+        n_draft_errors=seed % 8,
+    )
+    fasta, sam_text = synth.make_polish_case(seed=seed, **params)
+    asm = tmp_path / "a.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "a.sam"
+    sam.write_text(sam_text)
+    debug = tmp_path / "d.tsv"
+
+    expected, expected_debug = oracle_polish(fasta, [sam_text])
+    out = io.StringIO()
+    polish(
+        str(debug), 0.2, 0.5, 10, 5, False, str(asm), [str(sam)],
+        out=out, backend="host", use_native=(seed % 2 == 0),
+    )
+    lines = out.getvalue().splitlines()
+    assert lines[1] == expected["contig_1"], f"params={params}"
+    assert debug.read_text().splitlines()[1:] == expected_debug
+
+
+@pytest.mark.parametrize("seed", range(200, 205))
+def test_fuzz_filter(tmp_path, seed):
+    sam1, sam2 = synth.make_filter_case(
+        seed=seed,
+        n_pairs=100 + seed % 200,
+        insert_mean=200 + (seed % 3) * 150,
+        multi_frac=0.2 + (seed % 4) * 0.2,
+    )
+    in1, in2 = tmp_path / "i1.sam", tmp_path / "i2.sam"
+    out1, out2 = tmp_path / "o1.sam", tmp_path / "o2.sam"
+    in1.write_text(sam1)
+    in2.write_text(sam2)
+    filter_pairs(str(in1), str(in2), str(out1), str(out2))
+
+    v1, v2, _, _, _ = oracle_filter(sam1, sam2)
+
+    def check(sam_text, got, verdicts):
+        idx = 0
+        got_lines = got.splitlines()
+        for i, line in enumerate(sam_text.splitlines()):
+            if line.startswith("@") or int(line.split("\t")[1]) & 4:
+                assert got_lines[i] == line
+                continue
+            if verdicts[idx]:
+                assert got_lines[i] == line
+            else:
+                assert got_lines[i] == line + "\tZP:Z:fail"
+            idx += 1
+
+    check(sam1, out1.read_text(), v1)
+    check(sam2, out2.read_text(), v2)
