@@ -83,6 +83,7 @@ def make_polish_case(
     err: float = 0.08,
     multi_frac: float = 0.25,
     contig_name: str = "contig_1",
+    shuffle_groups: bool = False,
 ) -> Tuple[List[Tuple[str, str, str]], str]:
     """Returns (fasta_records, sam_text).
 
@@ -130,6 +131,10 @@ def make_polish_case(
                 )
         if rng.random() < 0.05:
             group[-1] += "\tZP:Z:fail"
+        if shuffle_groups and len(group) > 1:
+            # a primary need not be the first line of its group — the
+            # read seq is recovered from the first non-'*' alignment
+            rng.shuffle(group)
         lines.extend(group)
         if rng.random() < 0.03:
             lines.append(

@@ -82,6 +82,23 @@ def test_polish_actually_fixes_draft_errors(tmp_path):
     assert got["contig_1"] != fasta[0][2]
 
 
+def test_polish_shuffled_group_order(tmp_path):
+    """Secondary '*'-seq lines may precede the seq-bearing line; the
+    read sequence comes from the first non-'*' alignment in the group
+    (alignment.rs:311-322)."""
+    fasta, sam_text = synth.make_polish_case(
+        seed=31, n_reads=300, multi_frac=0.6, shuffle_groups=True
+    )
+    expected, expected_debug = oracle_polish(fasta, [sam_text])
+    for use_native in (False, True):
+        got, got_debug, _ = _run_pipeline(
+            tmp_path, fasta, [sam_text], "host", f"shuf_{use_native}",
+            use_native=use_native,
+        )
+        assert got == expected
+        assert got_debug == expected_debug
+
+
 def test_polish_careful_mode(tmp_path):
     fasta, sam_text = synth.make_polish_case(seed=4)
     expected, expected_debug = oracle_polish(fasta, [sam_text], careful=True)
