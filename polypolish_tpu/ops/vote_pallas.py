@@ -50,8 +50,9 @@ E_B = E_SUB * E_LANE  # events per chunk
 
 
 def _make_vote_kernel(tile_p: int, e_sub: int, mxu_dtype=jnp.float32):
-    """mxu_dtype: f32 (default) or int8 — int8 one-hots contract on the
-    MXU's int8 path (int32 accumulation), exact either way."""
+    """mxu_dtype: int8 (default via use_int8=True — measured ~1.2-1.6x
+    the f32 path on v5e) or f32; one-hot contractions are exact either
+    way (partial sums < 2^24; int32 accumulation)."""
 
     def _vote_kernel(tiles_ref, pos_ref, vocab_ref, out_ref):
         c = pl.program_id(0)
@@ -176,7 +177,7 @@ def _pad_chunk_count(chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub):
 
 def _vote_pallas_call(
     chunk_pos, chunk_vocab, chunk_tile, n_tiles, interpret,
-    tile_p: int = TILE_P, e_sub: int = E_SUB, use_int8: bool = False,
+    tile_p: int = TILE_P, e_sub: int = E_SUB, use_int8: bool = True,
 ):
     n_chunks = chunk_pos.shape[0] // e_sub
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -225,7 +226,7 @@ def dense_counts_pallas(
     interpret: Optional[bool] = None,
     tile_p: int = TILE_P,
     e_sub: int = E_SUB,
-    use_int8: bool = False,
+    use_int8: bool = True,
 ) -> jnp.ndarray:
     """(8, P) int32 dense vote counts via the MXU one-hot-matmul kernel."""
     if interpret is None:
