@@ -39,11 +39,16 @@ def initialize_distributed(
         process_id = int(env) if env else None
 
     if coordinator_address is None and num_processes is None:
-        # Single-host, or a TPU pod runtime that auto-detects: only
-        # initialise when the pod runtime provides the configuration.
-        if os.environ.get("TPU_WORKER_HOSTNAMES"):
-            jax.distributed.initialize()
-            return True
+        # Single-host, or a TPU pod runtime that auto-detects: attempt
+        # auto-initialisation only when the pod runtime advertises
+        # multiple workers, and degrade to single-host on failure.
+        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if "," in hostnames:
+            try:
+                jax.distributed.initialize()
+                return True
+            except Exception:
+                return False
         return False
 
     jax.distributed.initialize(
