@@ -137,6 +137,34 @@ def build_parser() -> argparse.ArgumentParser:
         help="Skip jobs whose output already exists and is newer than "
         "its inputs",
     )
+
+    r = sub.add_parser(
+        "full",
+        help="one-shot paired-end workflow: filter then polish "
+        "(the reference's documented two-command pipeline)",
+    )
+    r.add_argument("--in1", required=True, help="Input SAM - first read in pairs")
+    r.add_argument("--in2", required=True, help="Input SAM - second read in pairs")
+    r.add_argument("--orientation", default="auto")
+    r.add_argument("--low", type=float, default=0.1)
+    r.add_argument("--high", type=float, default=99.9)
+    r.add_argument("--debug", default=None)
+    r.add_argument("-i", "--fraction_invalid", type=float, default=0.2)
+    r.add_argument("-v", "--fraction_valid", type=float, default=0.5)
+    r.add_argument("-m", "--max_errors", type=int, default=10)
+    r.add_argument("-d", "--min_depth", type=int, default=5)
+    r.add_argument("--careful", action="store_true")
+    r.add_argument(
+        "--backend", default="auto",
+        choices=("auto", "host", "xla", "pallas", "sharded"),
+    )
+    r.add_argument("--pure-python", action="store_true")
+    r.add_argument("--threads", type=int, default=None)
+    r.add_argument(
+        "--keep-filtered", default=None,
+        help="Directory to keep the intermediate filtered SAMs",
+    )
+    r.add_argument("assembly", help="Assembly to polish (FASTA)")
     return parser
 
 
@@ -202,6 +230,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             if any("error" in r for r in results):
                 return 1
+        elif args.command == "full":
+            from polypolish_tpu.pipeline.full import polish_paired
+
+            polish_paired(
+                args.assembly, args.in1, args.in2,
+                orientation=args.orientation, low=args.low, high=args.high,
+                debug=args.debug,
+                fraction_invalid=args.fraction_invalid,
+                fraction_valid=args.fraction_valid,
+                max_errors=args.max_errors, min_depth=args.min_depth,
+                careful=args.careful,
+                backend=_resolve_backend(args.backend),
+                use_native=not args.pure_python,
+                n_threads=args.threads,
+                keep_filtered=args.keep_filtered,
+            )
     except PolypolishError as e:
         render_error_and_exit(e)
     return 0
