@@ -41,6 +41,25 @@ def test_fuzz_polish(tmp_path, seed):
     assert debug.read_text().splitlines()[1:] == expected_debug
 
 
+@pytest.mark.parametrize("seed", [300, 301])
+@pytest.mark.parametrize("backend", ["sharded", "pallas"])
+def test_fuzz_polish_device_backends(tmp_path, seed, backend):
+    fasta, sam_text = synth.make_polish_case(
+        seed=seed, genome_len=700, n_reads=400, multi_frac=0.3
+    )
+    asm = tmp_path / "a.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "a.sam"
+    sam.write_text(sam_text)
+    expected, _ = oracle_polish(fasta, [sam_text])
+    out = io.StringIO()
+    polish(
+        None, 0.2, 0.5, 10, 5, False, str(asm), [str(sam)],
+        out=out, backend=backend, use_native=True,
+    )
+    assert out.getvalue().splitlines()[1] == expected["contig_1"]
+
+
 @pytest.mark.parametrize("seed", range(200, 205))
 def test_fuzz_filter(tmp_path, seed):
     sam1, sam2 = synth.make_filter_case(
