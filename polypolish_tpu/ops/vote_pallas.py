@@ -49,10 +49,15 @@ E_LANE = 128  # event-tile lanes (= MXU contraction depth)
 E_B = E_SUB * E_LANE  # events per chunk
 
 
-def _make_vote_kernel(tile_p: int, e_sub: int, mxu_dtype=jnp.float32):
+def _make_vote_kernel(tile_p: int, e_sub: int, mxu_dtype=jnp.float32,
+                      rows: Optional[int] = None):
     """mxu_dtype: int8 (default via use_int8=True — measured ~1.2-1.6x
     the f32 path on v5e) or f32; one-hot contractions are exact either
-    way (partial sums < 2^24; int32 accumulation)."""
+    way (partial sums < 2^24; int32 accumulation).  ``rows`` = event
+    rows per grid step (defaults to e_sub; larger values amortise grid
+    step overhead over multiple chunks)."""
+    if rows is None:
+        rows = e_sub
 
     def _vote_kernel(tiles_ref, pos_ref, vocab_ref, out_ref):
         c = pl.program_id(0)
@@ -67,7 +72,7 @@ def _make_vote_kernel(tile_p: int, e_sub: int, mxu_dtype=jnp.float32):
         pcol = jax.lax.broadcasted_iota(jnp.int32, (E_LANE, tile_p), 1)
 
         acc = jnp.zeros((DENSE_V, tile_p), jnp.int32)
-        for sub in range(e_sub):  # static unroll: e_sub MXU matmuls/chunk
+        for sub in range(rows):  # static unroll: one MXU matmul per row
             voc = vocab_ref[sub, :]  # (128,) int32
             pos = pos_ref[sub, :]  # (128,) int32, -1 = padding
             a = (vrow == voc[None, :]).astype(mxu_dtype)  # (8, 128)
@@ -90,13 +95,18 @@ def prepare_chunks(
     tile_p: int = TILE_P,
     e_sub: int = E_SUB,
     use_native: bool = True,
+    chunk_multiple: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Bucket dense-tier events by position tile and pad to chunks.
 
     Returns (chunk_pos (C*e_sub, 128) int32, chunk_vocab likewise,
     chunk_tile (C,) int32, n_tiles).  Uses the C++ counting-sort when
     the native library is available (layout-identical).
+    chunk_multiple: round each tile's chunk count up to this multiple
+    (required by _vote_pallas_call's chunks_per_step; numpy path only).
     """
+    if chunk_multiple > 1:
+        use_native = False
     if use_native:
         try:
             from polypolish_tpu.native import binding, loader
@@ -128,6 +138,9 @@ def prepare_chunks(
 
     per_tile = np.bincount(tile, minlength=n_tiles)
     chunks_per_tile = np.maximum(1, -(-per_tile // e_b))
+    if chunk_multiple > 1:
+        k = chunk_multiple
+        chunks_per_tile = (-(-chunks_per_tile // k)) * k
     n_chunks = int(chunks_per_tile.sum())
 
     flat_pos = np.full(n_chunks * e_b, -1, dtype=np.int32)
@@ -144,11 +157,13 @@ def prepare_chunks(
     chunk_pos = flat_pos.reshape(n_chunks * e_sub, E_LANE)
     chunk_vocab = flat_vocab.reshape(n_chunks * e_sub, E_LANE)
     return _pad_chunk_count(
-        chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub=e_sub
+        chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub=e_sub,
+        multiple=chunk_multiple,
     )
 
 
-def _pad_chunk_count(chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub):
+def _pad_chunk_count(chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub,
+                     multiple: int = 1):
     """Round the chunk count up to a geometric bucket (<= 12.5% extra)
     so the kernel's jitted shape is shared across event counts instead of
     recompiling per contig/file (compiles cost minutes on some backends).
@@ -161,6 +176,8 @@ def _pad_chunk_count(chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub):
     shift = max(n.bit_length() - 1 - 3, 0)
     step = 1 << shift
     padded = -(-n // step) * step
+    if multiple > 1:
+        padded = -(-padded // multiple) * multiple
     if padded == n_chunks:
         return chunk_pos, chunk_vocab, chunk_tile, n_tiles
     extra = padded - n_chunks
@@ -178,14 +195,22 @@ def _pad_chunk_count(chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub):
 def _vote_pallas_call(
     chunk_pos, chunk_vocab, chunk_tile, n_tiles, interpret,
     tile_p: int = TILE_P, e_sub: int = E_SUB, use_int8: bool = True,
+    chunks_per_step: int = 1,
 ):
+    """chunks_per_step > 1 processes k consecutive chunks per grid step
+    (the caller must have padded each tile's chunk count to a multiple
+    of k so a step never straddles a tile boundary)."""
+    k = chunks_per_step
     n_chunks = chunk_pos.shape[0] // e_sub
+    n_steps = n_chunks // k
+    step_tile = chunk_tile[::k] if k > 1 else chunk_tile
+    rows = e_sub * k
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((e_sub, E_LANE), lambda c, tiles: (c, 0)),
-            pl.BlockSpec((e_sub, E_LANE), lambda c, tiles: (c, 0)),
+            pl.BlockSpec((rows, E_LANE), lambda c, tiles: (c, 0)),
+            pl.BlockSpec((rows, E_LANE), lambda c, tiles: (c, 0)),
         ],
         out_specs=pl.BlockSpec(
             (DENSE_V, tile_p), lambda c, tiles: (0, tiles[c])
@@ -194,7 +219,7 @@ def _vote_pallas_call(
     flops = 2 * n_chunks * e_sub * DENSE_V * E_LANE * tile_p
     return pl.pallas_call(
         _make_vote_kernel(tile_p, e_sub,
-                          jnp.int8 if use_int8 else jnp.float32),
+                          jnp.int8 if use_int8 else jnp.float32, rows=rows),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((DENSE_V, n_tiles * tile_p), jnp.int32),
         cost_estimate=pl.CostEstimate(
@@ -203,12 +228,15 @@ def _vote_pallas_call(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(chunk_tile, chunk_pos, chunk_vocab)
+    )(step_tile, chunk_pos, chunk_vocab)
 
 
 _vote_pallas_jit = jax.jit(
     _vote_pallas_call,
-    static_argnames=("n_tiles", "interpret", "tile_p", "e_sub", "use_int8"),
+    static_argnames=(
+        "n_tiles", "interpret", "tile_p", "e_sub", "use_int8",
+        "chunks_per_step",
+    ),
 )
 
 

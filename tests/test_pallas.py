@@ -99,6 +99,26 @@ def test_pallas_int8_variant():
     np.testing.assert_array_equal(host, out)
 
 
+@pytest.mark.parametrize("k", [2, 4])
+def test_pallas_chunks_per_step(k):
+    from polypolish_tpu.ops.vote_pallas import _vote_pallas_jit
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(14)
+    pos, vocab = _random_events(rng, 20000, 1500)
+    host = dense_counts_host(pos, vocab, 1500)
+    chunk_pos, chunk_vocab, chunk_tile, n_tiles = prepare_chunks(
+        pos, vocab, 1500, chunk_multiple=k
+    )
+    assert chunk_tile.shape[0] % k == 0
+    out = np.asarray(_vote_pallas_jit(
+        jnp.asarray(chunk_pos), jnp.asarray(chunk_vocab),
+        jnp.asarray(chunk_tile), n_tiles=n_tiles, interpret=True,
+        chunks_per_step=k,
+    ))[:, :1500]
+    np.testing.assert_array_equal(host, out)
+
+
 def test_pallas_heavy_single_position():
     # one position receiving thousands of votes (deep pileup)
     pos = np.zeros(5000, dtype=np.int64)
