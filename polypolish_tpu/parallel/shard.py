@@ -18,7 +18,7 @@ position-sharded.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,14 +27,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.6 public API
     from jax import shard_map as _shard_map
-
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map_old
+    from jax.experimental.shard_map import shard_map as _shard_map
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+def shard_map(f, mesh, in_specs, out_specs, check_vma: bool = True):
+    try:
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_vma,
+        )
+    except TypeError:  # older jax: the flag was called check_rep
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=check_vma,
+        )
 
 from polypolish_tpu.ops.consensus import consensus_dense_core
 from polypolish_tpu.vocab import DENSE_V
@@ -129,6 +136,115 @@ def make_sharded_polish_step(mesh: Mesh, p_shard: int):
     return jax.jit(sharded)
 
 
+def bucket_chunks_for_mesh(
+    pos: np.ndarray,
+    vocab: np.ndarray,
+    num_positions: int,
+    n_data: int,
+    n_pos: int,
+    tile_p: Optional[int] = None,
+    e_sub: Optional[int] = None,
+):
+    """Route events to (data, pos) shards and run the Pallas chunk prep
+    per shard, padding all shards to a common chunk count.
+
+    Returns (chunk_pos (D,S,C*e_sub,128), chunk_vocab likewise,
+    chunk_tile (D,S,C), p_shard, n_tiles).
+    """
+    from polypolish_tpu.ops import vote_pallas
+
+    tile_p = tile_p or vote_pallas.TILE_P
+    e_sub = e_sub or vote_pallas.E_SUB
+
+    mask = (vocab >= 0) & (vocab < DENSE_V) & (pos >= 0) & (pos < num_positions)
+    pos = np.asarray(pos[mask], dtype=np.int64)
+    vocab = np.asarray(vocab[mask], dtype=np.int32)
+
+    p_shard = -(-num_positions // n_pos)
+    p_shard = max(tile_p, -(-p_shard // tile_p) * tile_p)
+    n_tiles = p_shard // tile_p
+    shard_of = pos // p_shard
+    data_of = np.arange(pos.size, dtype=np.int64) % n_data
+
+    preps = []
+    max_chunks = 1
+    for d in range(n_data):
+        row = []
+        for s in range(n_pos):
+            sel = (data_of == d) & (shard_of == s)
+            cp, cv, ct, nt = vote_pallas.prepare_chunks(
+                pos[sel] - s * p_shard, vocab[sel], p_shard, tile_p, e_sub
+            )
+            assert nt == n_tiles
+            row.append((cp, cv, ct))
+            max_chunks = max(max_chunks, ct.shape[0])
+        preps.append(row)
+
+    c = max_chunks
+    chunk_pos = np.full((n_data, n_pos, c * e_sub, 128), -1, dtype=np.int32)
+    chunk_vocab = np.zeros((n_data, n_pos, c * e_sub, 128), dtype=np.int32)
+    chunk_tile = np.full((n_data, n_pos, c), n_tiles - 1, dtype=np.int32)
+    for d in range(n_data):
+        for s in range(n_pos):
+            cp, cv, ct = preps[d][s]
+            nc = ct.shape[0]
+            chunk_pos[d, s, : nc * e_sub] = cp
+            chunk_vocab[d, s, : nc * e_sub] = cv
+            chunk_tile[d, s, :nc] = ct
+    return chunk_pos, chunk_vocab, chunk_tile, p_shard, n_tiles
+
+
+def make_sharded_polish_step_pallas(
+    mesh: Mesh, p_shard: int, n_tiles: int,
+    tile_p: Optional[int] = None, e_sub: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """SPMD step with the MXU one-hot-matmul vote kernel per shard.
+
+    Same contract as make_sharded_polish_step but events arrive as
+    pre-bucketed kernel chunks (see bucket_chunks_for_mesh): each device
+    runs the Pallas kernel on its chunk slab, counts psum over 'data',
+    consensus per position shard.
+    """
+    from polypolish_tpu.ops import vote_pallas
+
+    tile_p = tile_p or vote_pallas.TILE_P
+    e_sub = e_sub or vote_pallas.E_SUB
+    if interpret is None:
+        interpret = vote_pallas._default_interpret()
+
+    def local_step(chunk_pos, chunk_vocab, chunk_tile,
+                   valid_thr, invalid_thr, low_depth, orig_id):
+        counts = vote_pallas._vote_pallas_call(
+            chunk_pos.reshape(-1, 128), chunk_vocab.reshape(-1, 128),
+            chunk_tile.reshape(-1),
+            n_tiles=n_tiles, interpret=interpret,
+            tile_p=tile_p, e_sub=e_sub,
+        )[:, :p_shard]
+        counts = jax.lax.psum(counts, "data")
+        new_id, status = consensus_dense_core(
+            counts, valid_thr, invalid_thr, low_depth, orig_id
+        )
+        return counts, new_id, status
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("data", "pos", None, None),
+            P("data", "pos", None, None),
+            P("data", "pos", None),
+            P("pos"), P("pos"), P("pos"), P("pos"),
+        ),
+        out_specs=(P(None, "pos"), P("pos"), P("pos")),
+        # pallas_call's out_shape carries no varying-mesh-axes info, so
+        # the vma checker cannot see through it; correctness is covered
+        # by the bitwise single-device equality tests
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def sharded_vote_consensus(
     mesh: Mesh,
     pos: np.ndarray,
@@ -160,6 +276,48 @@ def sharded_vote_consensus(
     counts, new_id, status = step(
         jnp.asarray(ev_pos),
         jnp.asarray(ev_vocab),
+        jnp.asarray(pad_p(np.asarray(valid_thr, np.int32), 2**31 - 1)),
+        jnp.asarray(pad_p(np.asarray(invalid_thr, np.int32), 2**31 - 1)),
+        jnp.asarray(pad_p(np.asarray(low_depth, bool), True)),
+        jnp.asarray(pad_p(np.asarray(orig_id, np.int32), 0)),
+    )
+    return (
+        np.array(counts)[:, :num_positions],
+        np.array(new_id)[:num_positions],
+        np.array(status)[:num_positions],
+    )
+
+
+def sharded_vote_consensus_pallas(
+    mesh: Mesh,
+    pos: np.ndarray,
+    vocab: np.ndarray,
+    num_positions: int,
+    valid_thr: np.ndarray,
+    invalid_thr: np.ndarray,
+    low_depth: np.ndarray,
+    orig_id: np.ndarray,
+    interpret: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Like sharded_vote_consensus, but each shard votes through the
+    Pallas MXU kernel (the multi-chip production path)."""
+    n_data, n_pos = mesh.devices.shape
+    chunk_pos, chunk_vocab, chunk_tile, p_shard, n_tiles = (
+        bucket_chunks_for_mesh(pos, vocab, num_positions, n_data, n_pos)
+    )
+    p_total = p_shard * n_pos
+
+    def pad_p(arr, fill):
+        out = np.full(p_total, fill, dtype=arr.dtype)
+        out[: arr.shape[0]] = arr
+        return out
+
+    step = make_sharded_polish_step_pallas(
+        mesh, p_shard, n_tiles, interpret=interpret
+    )
+    counts, new_id, status = step(
+        jnp.asarray(chunk_pos), jnp.asarray(chunk_vocab),
+        jnp.asarray(chunk_tile),
         jnp.asarray(pad_p(np.asarray(valid_thr, np.int32), 2**31 - 1)),
         jnp.asarray(pad_p(np.asarray(invalid_thr, np.int32), 2**31 - 1)),
         jnp.asarray(pad_p(np.asarray(low_depth, bool), True)),
