@@ -119,14 +119,28 @@ consensus_dense_jax = jax.jit(consensus_dense_core)
 
 
 def consensus_dense_numpy(counts, valid_thr, invalid_thr, low_depth, orig_id):
-    """Pure-numpy mirror of consensus_dense_jax (fallback + cross-check)."""
+    """Pure-numpy mirror of consensus_dense_jax (fallback + cross-check).
+
+    Streams over the 8 vocab rows so peak temporaries are O(P), not
+    O(8P) — at the 100 Mb-contig scale the difference is gigabytes."""
     counts = np.asarray(counts, dtype=np.int32)
-    participate = _ACGT_ROWS | (counts > 0)
-    is_valid = participate & (counts >= valid_thr[None, :])
-    is_inter = participate & (~is_valid) & (counts >= invalid_thr[None, :])
-    n_valid = np.sum(is_valid, axis=0, dtype=np.int32)
-    n_inter = np.sum(is_inter, axis=0, dtype=np.int32)
-    valid_id = np.argmax(is_valid, axis=0).astype(np.int32)
+    p = counts.shape[1]
+    n_valid = np.zeros(p, dtype=np.int32)
+    n_inter = np.zeros(p, dtype=np.int32)
+    valid_id = np.zeros(p, dtype=np.int32)
+    for v in range(counts.shape[0]):
+        cv = counts[v]
+        part = (cv > 0) if not _ACGT_ROWS[v, 0] else None
+        isv = cv >= valid_thr
+        if part is not None:
+            isv &= part
+        # first valid row wins (argmax-over-rows semantics)
+        valid_id = np.where(isv & (n_valid == 0), v, valid_id)
+        n_valid += isv
+        isi = cv >= invalid_thr
+        if part is not None:
+            isi &= part
+        n_inter += isi & ~isv
 
     one_valid = n_valid == 1
     adopt = (~low_depth) & one_valid & (n_inter == 0)
