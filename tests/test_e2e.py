@@ -82,6 +82,41 @@ def test_polish_actually_fixes_draft_errors(tmp_path):
     assert got["contig_1"] != fasta[0][2]
 
 
+def test_polish_accuracy_on_clean_reads(tmp_path):
+    """Functional quality check: at ~60x coverage of low-error reads,
+    polishing should repair the vast majority of the substitution errors
+    planted in the draft."""
+    import numpy as np
+
+    rng = np.random.default_rng(70)
+    genome_len, read_len, n_errors = 2000, 60, 20
+    true_genome = synth.rand_seq(rng, genome_len)
+    draft = list(true_genome)
+    sites = rng.choice(
+        np.arange(read_len, genome_len - read_len), size=n_errors, replace=False
+    )
+    for s in sites:
+        draft[s] = [b for b in "ACGT" if b != draft[s]][rng.integers(0, 3)]
+    draft = "".join(draft)
+    lines = ["@HD\tVN:1.6"]
+    n_reads = genome_len * 60 // read_len
+    for i in range(n_reads):
+        p = int(rng.integers(0, genome_len - read_len))
+        seq = true_genome[p:p + read_len]
+        nm = synth.hamming(seq, draft[p:p + read_len])
+        lines.append(
+            f"q{i:05d}\t0\tcontig_1\t{p + 1}\t60\t{read_len}M\t*\t0\t0"
+            f"\t{seq}\t{'K' * read_len}\tNM:i:{nm}"
+        )
+    sam_text = "\n".join(lines) + "\n"
+    fasta = [("contig_1", "", draft)]
+    got, _, _ = _run_pipeline(tmp_path, fasta, [sam_text], "host", "acc")
+    polished = got["contig_1"]
+    assert len(polished) == genome_len
+    fixed = sum(1 for s in sites if polished[s] == true_genome[s])
+    assert fixed >= int(0.9 * n_errors), f"only {fixed}/{n_errors} errors fixed"
+
+
 def test_polish_shuffled_group_order(tmp_path):
     """Secondary '*'-seq lines may precede the seq-bearing line; the
     read sequence comes from the first non-'*' alignment in the group
