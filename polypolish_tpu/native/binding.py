@@ -273,16 +273,32 @@ def process_sam_native(
 
         n = v.n_events
         if n > 0:
-            contig_id = np.ctypeslib.as_array(v.contig_id, shape=(n,)).copy()
-            pos = np.ctypeslib.as_array(v.pos, shape=(n,)).copy()
-            vid = np.ctypeslib.as_array(v.vocab, shape=(n,)).copy()
-            weight = np.ctypeslib.as_array(v.weight, shape=(n,)).copy()
-            for ci, name in enumerate(contig_names):
-                mask = contig_id == ci
-                if mask.any():
-                    votes[name].extend_events(
-                        pos[mask], vid[mask], weight[mask]
-                    )
+            contig_id = np.ctypeslib.as_array(v.contig_id, shape=(n,))
+            pos = np.ctypeslib.as_array(v.pos, shape=(n,))
+            vid = np.ctypeslib.as_array(v.vocab, shape=(n,))
+            weight = np.ctypeslib.as_array(v.weight, shape=(n,))
+            if len(contig_names) == 1:
+                votes[contig_names[0]].extend_events(
+                    pos.copy(), vid.copy(), weight.copy()
+                )
+            else:
+                # stable sort by contig preserves per-contig stream
+                # order; per-contig ranges come from one searchsorted
+                order = np.argsort(contig_id, kind="stable")
+                sorted_cid = contig_id[order]
+                pos_s = pos[order]
+                vid_s = vid[order]
+                w_s = weight[order]
+                bounds = np.searchsorted(
+                    sorted_cid, np.arange(len(contig_names) + 1)
+                )
+                for ci, name in enumerate(contig_names):
+                    lo, hi = int(bounds[ci]), int(bounds[ci + 1])
+                    if hi > lo:
+                        votes[name].extend_events(
+                            pos_s[lo:hi].copy(), vid_s[lo:hi].copy(),
+                            w_s[lo:hi].copy(),
+                        )
         return int(v.alignment_count), int(v.used_count), int(v.read_count)
     finally:
         lib.pp_free_result(view)
