@@ -23,7 +23,19 @@ def main():
     ap.add_argument("--positions", type=int, default=100_000_000)
     ap.add_argument("--events", type=int, default=50_000_000)
     ap.add_argument("--backend", default="host", choices=("host", "sharded"))
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU platform (8 virtual devices) before jax init",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from polypolish_tpu.ops.consensus import (
         compute_thresholds,
