@@ -53,6 +53,16 @@ class _PPQuickView(ctypes.Structure):
     ]
 
 
+class _PPRewriteView(ctypes.Structure):
+    _fields_ = [
+        ("pass_count", ctypes.c_int64),
+        ("fail_count", ctypes.c_int64),
+        ("status", ctypes.c_int),
+        ("error", ctypes.c_char_p),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
 class _PPResultView(ctypes.Structure):
     _fields_ = [
         ("contig_id", ctypes.POINTER(ctypes.c_int32)),
@@ -128,6 +138,15 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pp_quick_parse_pair.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
         lib.pp_free_quick.argtypes = [ctypes.POINTER(_PPQuickView)]
         lib.pp_free_quick.restype = None
+        lib.pp_rewrite_sam.restype = ctypes.POINTER(_PPRewriteView)
+        lib.pp_rewrite_sam.argtypes = [
+            ctypes.c_char_p,                    # in filename
+            ctypes.c_char_p,                    # out filename
+            ctypes.POINTER(ctypes.c_uint8),     # verdicts (0/1 per record)
+            ctypes.c_int64,                     # n_verdicts
+        ]
+        lib.pp_free_rewrite.argtypes = [ctypes.POINTER(_PPRewriteView)]
+        lib.pp_free_rewrite.restype = None
         _lib = lib
         return _lib
 
@@ -197,6 +216,29 @@ def prepare_chunks_native(pos, vocab, num_positions, tile_p, e_sub):
         return chunk_pos, chunk_vocab, chunk_tile, n_tiles
     finally:
         lib.pp_free_chunks(view)
+
+
+def rewrite_sam_native(in_filename, out_filename, verdicts) -> Tuple[int, int]:
+    """Native SAM re-stream for the filter subcommand: copies the input,
+    tagging aligned records whose verdict is False with ``ZP:Z:fail``.
+    Byte-identical to the Python rewriter (filter.rs:296-343 semantics).
+    Returns (pass_count, fail_count)."""
+    lib = load_library()
+    assert lib is not None
+    v8 = np.ascontiguousarray(verdicts, dtype=np.uint8)
+    view = lib.pp_rewrite_sam(
+        os.fsencode(in_filename),
+        os.fsencode(out_filename),
+        v8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        v8.shape[0],
+    )
+    try:
+        v = view.contents
+        if v.status != 0:
+            quit_with_error(v.error.decode("utf-8", errors="replace"))
+        return int(v.pass_count), int(v.fail_count)
+    finally:
+        lib.pp_free_rewrite(view)
 
 
 def _transfer_safe(s: str) -> str:

@@ -1000,4 +1000,144 @@ void pp_free_quick(PPQuickView* view) {
   delete view;
 }
 
+// ---------------------------------------------------------------------
+// SAM re-stream for the filter subcommand (filter.rs:296-343): copy the
+// input line by line, appending "\tZP:Z:fail" to aligned body lines whose
+// precomputed verdict is false.  Byte-identical to the Python rewriter in
+// pipeline/filtering.py::_rewrite_sam (universal-newline splitting, every
+// emitted line terminated with '\n').
+// ---------------------------------------------------------------------
+
+struct RewriteBuffers {
+  std::string error;
+};
+
+struct PPRewriteView {
+  int64_t pass_count;
+  int64_t fail_count;
+  int status;  // 0 ok, 1 read error, 2 write error, 3 verdict underrun
+  const char* error;
+  void* handle;
+};
+
+PPRewriteView* pp_rewrite_sam(const char* in_filename,
+                              const char* out_filename,
+                              const uint8_t* verdicts, int64_t n_verdicts) {
+  auto* rb = new RewriteBuffers();
+  auto* view = new PPRewriteView();
+  memset(view, 0, sizeof(*view));
+  view->handle = rb;
+
+  std::string data;
+  {
+    FILE* f = fopen(in_filename, "rb");
+    bool ok = f != nullptr;
+    if (ok) {
+      fseek(f, 0, SEEK_END);
+      long fsize = ftell(f);
+      fseek(f, 0, SEEK_SET);
+      data.resize((size_t)fsize);
+      if (fsize > 0 &&
+          fread(data.data(), 1, (size_t)fsize, f) != (size_t)fsize)
+        ok = false;
+      fclose(f);
+    }
+    if (!ok) {
+      view->status = 1;
+      rb->error = std::string("unable to load alignments from \"") +
+                  in_filename + "\"";
+      view->error = rb->error.c_str();
+      return view;
+    }
+  }
+
+  static const char kFailTag[] = "\tZP:Z:fail";
+  std::string out;
+  out.reserve(data.size() + (size_t)n_verdicts * (sizeof(kFailTag) - 1) + 64);
+
+  int64_t idx = 0;
+  int64_t pass_count = 0;
+  int64_t fail_count = 0;
+  size_t off = 0;
+  const size_t n = data.size();
+  while (off < n) {
+    // universal-newline line scan: '\n', '\r', or "\r\n" all terminate
+    size_t e = off;
+    while (e < n && data[e] != '\n' && data[e] != '\r') ++e;
+    const char* line = data.data() + off;
+    size_t llen = e - off;
+    if (e < n) {
+      off = (data[e] == '\r' && e + 1 < n && data[e + 1] == '\n') ? e + 2
+                                                                  : e + 1;
+    } else {
+      off = n;
+    }
+
+    if (llen > 0 && line[0] == '@') {
+      out.append(line, llen);
+      out.push_back('\n');
+      continue;
+    }
+    // only the FLAG field is needed; the load pass validated the records
+    const char* t1 = (const char*)memchr(line, '\t', llen);
+    const char* t2 =
+        t1 ? (const char*)memchr(t1 + 1, '\t',
+                                 (size_t)(line + llen - t1 - 1))
+           : nullptr;
+    if (!t1 || !t2) {
+      out.append(line, llen);
+      out.push_back('\n');
+      continue;
+    }
+    uint32_t flags = (uint32_t)parse_int(
+        std::string_view(t1 + 1, (size_t)(t2 - t1 - 1)));
+    if (flags & 4) {
+      out.append(line, llen);
+      out.push_back('\n');
+      continue;
+    }
+    if (idx >= n_verdicts) {
+      view->status = 3;
+      rb->error = "internal error: more aligned records than verdicts";
+      view->error = rb->error.c_str();
+      return view;
+    }
+    out.append(line, llen);
+    if (verdicts[idx++]) {
+      ++pass_count;
+    } else {
+      out.append(kFailTag, sizeof(kFailTag) - 1);
+      ++fail_count;
+    }
+    out.push_back('\n');
+  }
+
+  {
+    FILE* f = fopen(out_filename, "wb");
+    bool ok = f != nullptr;
+    if (ok) {
+      if (!out.empty() &&
+          fwrite(out.data(), 1, out.size(), f) != out.size())
+        ok = false;
+      if (fclose(f) != 0) ok = false;
+    }
+    if (!ok) {
+      view->status = 2;
+      rb->error = std::string("unable to write alignments to \"") +
+                  out_filename + "\"";
+      view->error = rb->error.c_str();
+      return view;
+    }
+  }
+  view->pass_count = pass_count;
+  view->fail_count = fail_count;
+  return view;
+}
+
+void pp_free_rewrite(PPRewriteView* view) {
+  if (!view) return;
+  delete static_cast<RewriteBuffers*>(view->handle);
+  delete view;
+}
+
 }  // extern "C"

@@ -405,9 +405,35 @@ def compute_verdicts(
     return verdict
 
 
+def _rewrite_native(in_filename: str, out_filename: str, verdicts: np.ndarray):
+    """Native re-stream (plain-text in and out only); returns None to fall
+    back to the Python line loop."""
+    if str(out_filename).endswith(".gz"):
+        return None
+    try:
+        from polypolish_tpu.native import binding, loader
+
+        if not loader.available():
+            return None
+        with open(in_filename, "rb") as f:
+            head = f.read(2)
+        if len(head) == 2 and head[0] == 31 and head[1] == 139:
+            return None  # gzipped input: Python path decompresses
+    except OSError:
+        return None
+    return binding.rewrite_sam_native(in_filename, out_filename, verdicts)
+
+
 def _rewrite_sam(in_filename: str, out_filename: str, verdicts: np.ndarray) -> int:
     """Re-stream one input, writing pass-through or ZP:Z:fail-tagged lines."""
     log.eprint(f"Filtering {in_filename}:")
+    native_counts = _rewrite_native(in_filename, out_filename, verdicts)
+    if native_counts is not None:
+        pass_count, fail_count = native_counts
+        log.eprint(f"  {log.thousands(pass_count)} pass")
+        log.eprint(f"  {log.thousands(fail_count)} fail")
+        log.eprint()
+        return pass_count
     pass_count = 0
     fail_count = 0
     idx = 0

@@ -205,3 +205,71 @@ def test_native_error_messages(tmp_path):
     votes = pack.new_votes_from_fasta(fa)
     with pytest.raises(PolypolishError, match="too few columns"):
         loader.process_sam_native(str(sam), votes, Vocab(), 10, False)
+
+
+def _aln_line(name, flag, pos, extra=""):
+    return (f"{name}\t{flag}\tc\t{pos}\t60\t4M\t*\t0\t0\tACTG\tKKKK\tNM:i:0"
+            f"{extra}")
+
+
+def test_native_rewrite_matches_python(tmp_path, monkeypatch):
+    """The native filter re-stream must be byte-identical to the Python
+    line loop, including headers, unaligned records, empty lines, CRLF
+    endings, and a missing trailing newline."""
+    from polypolish_tpu.pipeline import filtering
+
+    sam_text = (
+        "@HD\tVN:1.6\n"
+        "@SQ\tSN:c\tLN:100\n"
+        + _aln_line("r1", 0, 10) + "\n"
+        + _aln_line("r2", 16, 20) + "\r\n"          # CRLF body line
+        + _aln_line("r3", 4, 0) + "\n"              # unaligned: no verdict
+        + "\n"                                        # empty line
+        + _aln_line("r4", 0, 30, "\tXX:Z:extra") + "\n"
+        + _aln_line("r5", 0, 40)                     # no trailing newline
+    )
+    src = tmp_path / "in.sam"
+    src.write_bytes(sam_text.encode())
+    verdicts = np.array([True, False, True, False], dtype=bool)
+
+    out_native = tmp_path / "native.sam"
+    pass_n = filtering._rewrite_sam(str(src), str(out_native), verdicts)
+
+    out_python = tmp_path / "python.sam"
+    monkeypatch.setattr(filtering, "_rewrite_native", lambda *a: None)
+    pass_p = filtering._rewrite_sam(str(src), str(out_python), verdicts)
+
+    assert pass_n == pass_p == 2
+    assert out_native.read_bytes() == out_python.read_bytes()
+    text = out_native.read_text()
+    assert "\tZP:Z:fail" in text
+    lines = text.splitlines()
+    assert lines[3].endswith("ZP:Z:fail")            # r2 (verdict False)
+    assert not lines[2].endswith("ZP:Z:fail")        # r1 (verdict True)
+    assert lines[4].split("\t")[0] == "r3"           # unaligned untouched
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_native_rewrite_random_case(tmp_path, monkeypatch, seed):
+    """Native vs Python rewrite on a synthetic filter pair (full files)."""
+    from polypolish_tpu.pipeline import filtering
+
+    rng = np.random.default_rng(seed)
+    lines = ["@HD\tVN:1.6"]
+    n_aligned = 0
+    for i in range(200):
+        flag = int(rng.choice([0, 16, 4]))
+        if flag != 4:
+            n_aligned += 1
+        lines.append(_aln_line(f"read_{i}", flag, int(rng.integers(1, 90))))
+    src = tmp_path / "in.sam"
+    src.write_text("\n".join(lines) + "\n")
+    verdicts = rng.random(n_aligned) < 0.5
+
+    out_native = tmp_path / "native.sam"
+    pn = filtering._rewrite_sam(str(src), str(out_native), verdicts)
+    out_python = tmp_path / "python.sam"
+    monkeypatch.setattr(filtering, "_rewrite_native", lambda *a: None)
+    pp = filtering._rewrite_sam(str(src), str(out_python), verdicts)
+    assert pn == pp == int(verdicts.sum())
+    assert out_native.read_bytes() == out_python.read_bytes()
