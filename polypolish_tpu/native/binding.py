@@ -63,6 +63,15 @@ class _PPRewriteView(ctypes.Structure):
     ]
 
 
+class _PPDebugView(ctypes.Structure):
+    _fields_ = [
+        ("bytes_written", ctypes.c_int64),
+        ("status", ctypes.c_int),
+        ("error", ctypes.c_char_p),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
 class _PPResultView(ctypes.Structure):
     _fields_ = [
         ("contig_id", ctypes.POINTER(ctypes.c_int32)),
@@ -147,6 +156,30 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.pp_free_rewrite.argtypes = [ctypes.POINTER(_PPRewriteView)]
         lib.pp_free_rewrite.restype = None
+        lib.pp_debug_tsv.restype = ctypes.POINTER(_PPDebugView)
+        lib.pp_debug_tsv.argtypes = [
+            ctypes.c_int,                       # fd
+            ctypes.c_char_p,                    # contig name
+            ctypes.c_char_p,                    # sequence
+            ctypes.c_int64,                     # seq_len
+            ctypes.POINTER(ctypes.c_double),    # depth
+            ctypes.POINTER(ctypes.c_int32),     # invalid_thr
+            ctypes.POINTER(ctypes.c_int32),     # valid_thr
+            ctypes.POINTER(ctypes.c_int32),     # counts (8, P) row-major
+            ctypes.POINTER(ctypes.c_int64),     # sparse pos (ascending)
+            ctypes.POINTER(ctypes.c_int32),     # sparse vocab id
+            ctypes.POINTER(ctypes.c_int32),     # sparse count
+            ctypes.c_int64,                     # n_sparse
+            ctypes.POINTER(ctypes.c_int32),     # status
+            ctypes.POINTER(ctypes.c_int32),     # new_id
+            ctypes.c_int32,                     # st_changed
+            ctypes.c_char_p,                    # vocab blob
+            ctypes.c_int64,                     # n_vocab
+            ctypes.c_char_p,                    # status blob
+            ctypes.c_int64,                     # n_status
+        ]
+        lib.pp_free_debug.argtypes = [ctypes.POINTER(_PPDebugView)]
+        lib.pp_free_debug.restype = None
         _lib = lib
         return _lib
 
@@ -239,6 +272,61 @@ def rewrite_sam_native(in_filename, out_filename, verdicts) -> Tuple[int, int]:
         return int(v.pass_count), int(v.fail_count)
     finally:
         lib.pp_free_rewrite(view)
+
+
+def debug_tsv_native(
+    debug_file, name: str, seq: str, depth, invalid_thr, valid_thr,
+    counts, sp_pos, sp_vid, sp_cnt, status, new_id, st_changed: int,
+    vocab_strings, status_strings,
+) -> int:
+    """Stream one contig's --debug TSV lines to ``debug_file`` via the
+    native writer (byte-identical to pipeline/polish.py's Python loop).
+
+    ``counts`` is the dense (8, seq_len) count tensor; sparse-tier
+    entries arrive as three parallel arrays sorted ascending by position.
+    Returns the number of bytes written.
+    """
+    lib = load_library()
+    assert lib is not None
+    seq_b = seq.encode("latin-1")
+    seq_len = len(seq)
+    depth = np.ascontiguousarray(depth, dtype=np.float64)
+    invalid_thr = np.ascontiguousarray(invalid_thr, dtype=np.int32)
+    valid_thr = np.ascontiguousarray(valid_thr, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    assert counts.shape == (8, seq_len)
+    sp_pos = np.ascontiguousarray(sp_pos, dtype=np.int64)
+    sp_vid = np.ascontiguousarray(sp_vid, dtype=np.int32)
+    sp_cnt = np.ascontiguousarray(sp_cnt, dtype=np.int32)
+    status = np.ascontiguousarray(status, dtype=np.int32)
+    new_id = np.ascontiguousarray(new_id, dtype=np.int32)
+    vocab_blob = "\n".join(
+        _transfer_safe(s) for s in vocab_strings
+    ).encode("latin-1")
+    status_blob = "\n".join(status_strings).encode("latin-1")
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    debug_file.flush()
+    view = lib.pp_debug_tsv(
+        debug_file.fileno(), name.encode("utf-8"), seq_b, seq_len,
+        ptr(depth, ctypes.c_double),
+        ptr(invalid_thr, ctypes.c_int32), ptr(valid_thr, ctypes.c_int32),
+        ptr(counts, ctypes.c_int32),
+        ptr(sp_pos, ctypes.c_int64), ptr(sp_vid, ctypes.c_int32),
+        ptr(sp_cnt, ctypes.c_int32), sp_pos.shape[0],
+        ptr(status, ctypes.c_int32), ptr(new_id, ctypes.c_int32),
+        st_changed, vocab_blob, len(vocab_strings),
+        status_blob, len(status_strings),
+    )
+    try:
+        v = view.contents
+        if v.status != 0:
+            quit_with_error(v.error.decode("utf-8", errors="replace"))
+        return int(v.bytes_written)
+    finally:
+        lib.pp_free_debug(view)
 
 
 def _transfer_safe(s: str) -> str:

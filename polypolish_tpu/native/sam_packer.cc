@@ -17,7 +17,11 @@
 //
 // Exposed via a C ABI for ctypes (no pybind11 in this environment).
 
+#include <unistd.h>
+
+#include <algorithm>
 #include <cctype>
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -1137,6 +1141,173 @@ PPRewriteView* pp_rewrite_sam(const char* in_filename,
 void pp_free_rewrite(PPRewriteView* view) {
   if (!view) return;
   delete static_cast<RewriteBuffers*>(view->handle);
+  delete view;
+}
+
+// ---------------------------------------------------------------------
+// Per-base debug TSV writer (polish --debug; reference: polish.rs:230-266,
+// pileup.rs:137-166).  Streams one contig's lines to an already-open file
+// descriptor, byte-identical to the Python writer in
+// pipeline/polish.py::_write_debug_lines:
+//   name \t pos \t base \t depth(%.1f) \t invalid \t valid \t pileup
+//   \t status \t new_base \n
+// with the pileup column as lexicographically sorted comma-joined
+// "SEQxCOUNT" entries (dense ids with count > 0, plus all sparse-tier
+// entries at that position).  glibc's %.1f and Python's format(x, '.1f')
+// are both correctly rounded with ties-to-even, so depth formatting
+// matches bit-for-bit (covered by tests with exact .x5 tie depths).
+// ---------------------------------------------------------------------
+
+struct DebugBuffers {
+  std::string error;
+};
+
+struct PPDebugView {
+  int64_t bytes_written;
+  int status;  // 0 ok, 2 write error
+  const char* error;
+  void* handle;
+};
+
+static bool flush_fd(int fd, std::string& buf, int64_t* written) {
+  size_t off = 0;
+  while (off < buf.size()) {
+    ssize_t n = write(fd, buf.data() + off, buf.size() - off);
+    if (n < 0) {
+      if (errno == EINTR) continue;
+      return false;
+    }
+    off += (size_t)n;
+  }
+  *written += (int64_t)buf.size();
+  buf.clear();
+  return true;
+}
+
+PPDebugView* pp_debug_tsv(
+    int fd, const char* name, const char* seq, int64_t seq_len,
+    const double* depth, const int32_t* invalid_thr,
+    const int32_t* valid_thr,
+    const int32_t* counts,  // row-major (8, seq_len)
+    const int64_t* sp_pos,  // sparse entries, ascending by position
+    const int32_t* sp_vid, const int32_t* sp_cnt, int64_t n_sparse,
+    const int32_t* status_arr, const int32_t* new_id, int32_t st_changed,
+    const char* vocab_blob,   // '\n'-joined vocab strings (latin-1)
+    int64_t n_vocab,
+    const char* status_blob,  // '\n'-joined status display strings
+    int64_t n_status) {
+  auto* db = new DebugBuffers();
+  auto* view = new PPDebugView();
+  memset(view, 0, sizeof(*view));
+  view->handle = db;
+
+  std::vector<std::string_view> vocab;
+  vocab.reserve((size_t)n_vocab);
+  {
+    std::string_view blob(vocab_blob);
+    size_t off = 0;
+    for (int64_t i = 0; i < n_vocab; ++i) {
+      size_t e = blob.find('\n', off);
+      if (e == std::string_view::npos) e = blob.size();
+      vocab.push_back(blob.substr(off, e - off));
+      off = e + 1;
+    }
+  }
+  std::vector<std::string_view> statuses;
+  statuses.reserve((size_t)n_status);
+  {
+    std::string_view blob(status_blob);
+    size_t off = 0;
+    for (int64_t i = 0; i < n_status; ++i) {
+      size_t e = blob.find('\n', off);
+      if (e == std::string_view::npos) e = blob.size();
+      statuses.push_back(blob.substr(off, e - off));
+      off = e + 1;
+    }
+  }
+
+  const int kDenseV = 8;
+  const size_t name_len = strlen(name);
+  std::string out;
+  out.reserve(8 << 20);
+  std::vector<std::string> entries;
+  std::string pileup;
+  char num[96];
+  int64_t sp_i = 0;
+  int64_t written = 0;
+
+  for (int64_t p = 0; p < seq_len; ++p) {
+    entries.clear();
+    for (int v = 0; v < kDenseV; ++v) {
+      int32_t c = counts[(size_t)v * (size_t)seq_len + (size_t)p];
+      if (c > 0) {
+        std::string e((size_t)v < vocab.size() ? vocab[(size_t)v]
+                                               : std::string_view());
+        e.push_back('x');
+        snprintf(num, sizeof(num), "%d", c);
+        e.append(num);
+        entries.push_back(std::move(e));
+      }
+    }
+    while (sp_i < n_sparse && sp_pos[sp_i] == p) {
+      int32_t v = sp_vid[sp_i];
+      std::string e((size_t)v < vocab.size() ? vocab[(size_t)v]
+                                             : std::string_view());
+      e.push_back('x');
+      snprintf(num, sizeof(num), "%d", sp_cnt[sp_i]);
+      e.append(num);
+      entries.push_back(std::move(e));
+      ++sp_i;
+    }
+    std::sort(entries.begin(), entries.end());
+    pileup.clear();
+    for (size_t i = 0; i < entries.size(); ++i) {
+      if (i) pileup.push_back(',');
+      pileup.append(entries[i]);
+    }
+
+    out.append(name, name_len);
+    snprintf(num, sizeof(num), "\t%lld\t", (long long)p);
+    out.append(num);
+    out.push_back(seq[p]);
+    snprintf(num, sizeof(num), "\t%.1f\t%d\t%d\t", depth[p],
+             (int)invalid_thr[p], (int)valid_thr[p]);
+    out.append(num);
+    out.append(pileup);
+    out.push_back('\t');
+    int32_t st = status_arr[p];
+    if (st >= 0 && (size_t)st < statuses.size()) out.append(statuses[st]);
+    out.push_back('\t');
+    if (st == st_changed) {
+      int32_t nid = new_id[p];
+      if (nid >= 0 && (size_t)nid < vocab.size()) out.append(vocab[nid]);
+    } else {
+      out.push_back(seq[p]);
+    }
+    out.push_back('\n');
+
+    if (out.size() >= (8u << 20)) {
+      if (!flush_fd(fd, out, &written)) {
+        view->status = 2;
+        db->error = "unable to write to the debug file";
+        view->error = db->error.c_str();
+        return view;
+      }
+    }
+  }
+  if (!flush_fd(fd, out, &written)) {
+    view->status = 2;
+    db->error = "unable to write to the debug file";
+    view->error = db->error.c_str();
+    return view;
+  }
+  view->bytes_written = written;
+  return view;
+}
+
+void pp_free_debug(PPDebugView* view) {
+  if (!view) return;
+  delete static_cast<DebugBuffers*>(view->handle);
   delete view;
 }
 

@@ -80,7 +80,7 @@ def polish(
     with phase("polish_sequences"), maybe_trace():
         new_lengths = polish_sequences(
             debug, fraction_invalid, fraction_valid, min_depth,
-            seq_names, votes, vocab, out, backend,
+            seq_names, votes, vocab, out, backend, use_native,
         )
     finished_message(debug, new_lengths, start_time)
     return new_lengths
@@ -294,6 +294,7 @@ def _select_sam_processor(use_native: bool, n_threads: Optional[int] = None):
 def polish_sequences(
     debug, fraction_invalid, fraction_valid, min_depth,
     seq_names, votes, vocab, out: TextIO, backend: str,
+    use_native: bool = True,
 ) -> List[Tuple[str, int]]:
     """Reference: polish.rs:137-154."""
     log.section_header("Polishing assembly sequences")
@@ -311,6 +312,7 @@ def polish_sequences(
             new_length = polish_one_sequence(
                 fraction_invalid, fraction_valid, min_depth,
                 name, description, contig, vocab, out, backend, debug_file,
+                use_native,
             )
             new_lengths.append((name, new_length))
     finally:
@@ -346,6 +348,7 @@ def _orig_ids_for_seq(seq: str, vocab: Vocab) -> np.ndarray:
 def polish_one_sequence(
     fraction_invalid, fraction_valid, min_depth,
     name, description, contig, vocab, out: TextIO, backend: str, debug_file,
+    use_native: bool = True,
 ) -> int:
     """Reference: polish.rs:157-193 (vectorised)."""
     seq_len = contig.length
@@ -400,6 +403,7 @@ def polish_one_sequence(
         _write_debug_lines(
             debug_file, name, contig.seq, depth, invalid_thr, valid_thr,
             np.asarray(counts), sparse_by_pos, status, new_id, vocab,
+            use_native,
         )
 
     polished_seq = _apply_edits(contig.seq, status, new_id, vocab)
@@ -539,15 +543,67 @@ def pileup_count_str(counts_col, sparse_items, vocab: Vocab) -> str:
     return ",".join(entries)
 
 
-def _write_debug_lines(
+def _write_debug_lines_native(
     debug_file, name, seq, depth, invalid_thr, valid_thr, counts,
     sparse_by_pos, status, new_id, vocab,
+) -> bool:
+    """Try the C++ streaming TSV writer; False -> use the Python loop.
+
+    Gated to ASCII content (non-ASCII vocab/sequence characters would be
+    encoded utf-8 by the Python text stream but latin-1 by the native
+    writer — never the case for real SAM/FASTA input, but the fallback
+    keeps even that path byte-consistent)."""
+    try:
+        from polypolish_tpu.native import binding, loader
+
+        if not loader.available():
+            return False
+        if not (seq.isascii() and name.isascii()
+                and all(s.isascii() for s in vocab.strings)):
+            return False
+    except Exception:
+        return False
+    # past this point real errors (e.g. disk full) must propagate — the
+    # native writer may have already emitted bytes, so falling back to
+    # the Python loop would duplicate lines
+    if sparse_by_pos:
+        sp_pos_l: List[int] = []
+        sp_vid_l: List[int] = []
+        sp_cnt_l: List[int] = []
+        for p in sorted(sparse_by_pos):
+            for v, c in sparse_by_pos[p]:
+                sp_pos_l.append(p)
+                sp_vid_l.append(v)
+                sp_cnt_l.append(c)
+        sp = (np.asarray(sp_pos_l, dtype=np.int64),
+              np.asarray(sp_vid_l, dtype=np.int32),
+              np.asarray(sp_cnt_l, dtype=np.int32))
+    else:
+        sp = (np.empty(0, np.int64), np.empty(0, np.int32),
+              np.empty(0, np.int32))
+    binding.debug_tsv_native(
+        debug_file, name, seq, depth, invalid_thr, valid_thr, counts,
+        *sp, status, new_id, ST_CHANGED, vocab.strings, STATUS_STRINGS,
+    )
+    return True
+
+
+def _write_debug_lines(
+    debug_file, name, seq, depth, invalid_thr, valid_thr, counts,
+    sparse_by_pos, status, new_id, vocab, use_native: bool = True,
 ) -> None:
     """Per-base debug TSV (reference: polish.rs:230-266, pileup.rs:137-166).
 
     Columns: name pos base depth invalid valid pileup status new_base,
     with the pileup column as sorted comma-joined "SEQxCOUNT" entries.
+    Uses the native (C++) streaming writer when available; the Python
+    loop below is the byte-identical fallback.
     """
+    if use_native and _write_debug_lines_native(
+        debug_file, name, seq, depth, invalid_thr, valid_thr, counts,
+        sparse_by_pos, status, new_id, vocab,
+    ):
+        return
     for p in range(len(seq)):
         count_str = pileup_count_str(
             counts[:, p], sparse_by_pos.get(p, ()), vocab

@@ -273,3 +273,117 @@ def test_native_rewrite_random_case(tmp_path, monkeypatch, seed):
     pp = filtering._rewrite_sam(str(src), str(out_python), verdicts)
     assert pn == pp == int(verdicts.sum())
     assert out_native.read_bytes() == out_python.read_bytes()
+
+
+def test_native_debug_tsv_parity_handcrafted(tmp_path, monkeypatch):
+    """Byte parity on adversarial content: exact .x5 decimal-tie depths
+    (round-half-even), sparse-tier insertion strings, deletion adoption,
+    every status value."""
+    from polypolish_tpu.ops.consensus import STATUS_STRINGS
+    import importlib
+
+    polish_mod = importlib.import_module('polypolish_tpu.pipeline.polish')
+
+    vocab = Vocab()
+    vid_ag = vocab.intern("AG")
+    vid_tta = vocab.intern("TTA")
+
+    seq = "ACGTNACGTACG"
+    n = len(seq)
+    # depths engineered to include exact binary ties at 1 decimal:
+    # 0.25, 0.75, 2.25, 2.75 (representable exactly -> decimal ties),
+    # plus 1/3 and 1/7 sums and huge/zero values
+    depth = np.asarray([
+        0.25, 0.75, 2.25, 2.75, 1.0 / 3.0, 1.0 / 7.0 * 3, 0.0,
+        12.05, 19.999999999999996, 1e15, 5.0, 0.5,
+    ], dtype=np.float64)
+    rng = np.random.default_rng(7)
+    counts = rng.integers(0, 5, size=(8, n)).astype(np.int32)
+    counts[6:, :] = 0  # reserved dense slots never take votes
+    invalid_thr = rng.integers(0, 4, size=n).astype(np.int32)
+    valid_thr = (invalid_thr + rng.integers(0, 4, size=n)).astype(np.int32)
+    status = np.asarray(
+        [i % len(STATUS_STRINGS) for i in range(n)], dtype=np.int32
+    )
+    from polypolish_tpu.ops.consensus import ST_CHANGED
+
+    new_id = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        if status[i] == ST_CHANGED:
+            new_id[i] = [0, 2, vid_ag, vid_tta][i % 4]
+    sparse_by_pos = {
+        1: [(vid_ag, 3)],
+        4: [(vid_ag, 1), (vid_tta, 2)],
+        n - 1: [(vid_tta, 7)],
+    }
+
+    out_native = tmp_path / "native.tsv"
+    with open(out_native, "wt") as f:
+        assert polish_mod._write_debug_lines_native(
+            f, "contig_1", seq, depth, invalid_thr, valid_thr, counts,
+            sparse_by_pos, status, new_id, vocab,
+        )
+    out_python = tmp_path / "python.tsv"
+    monkeypatch.setattr(
+        polish_mod, "_write_debug_lines_native", lambda *a, **k: False
+    )
+    with open(out_python, "wt") as f:
+        polish_mod._write_debug_lines(
+            f, "contig_1", seq, depth, invalid_thr, valid_thr, counts,
+            sparse_by_pos, status, new_id, vocab,
+        )
+    assert out_native.read_bytes() == out_python.read_bytes()
+    text = out_native.read_text()
+    assert "AGx3" in text and "TTAx" in text
+    # exact ties round half-to-even in both writers
+    first_cols = [l.split("\t")[3] for l in text.splitlines()]
+    assert first_cols[0] == "0.2" and first_cols[1] == "0.8"
+    assert first_cols[2] == "2.2" and first_cols[3] == "2.8"
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_native_debug_tsv_parity_fuzz(tmp_path, monkeypatch, seed):
+    from polypolish_tpu.ops.consensus import STATUS_STRINGS
+    import importlib
+
+    polish_mod = importlib.import_module('polypolish_tpu.pipeline.polish')
+
+    rng = np.random.default_rng(seed)
+    vocab = Vocab()
+    extra = [vocab.intern(s) for s in ("AAG", "CT", "GGGG", "NA")]
+    n = int(rng.integers(50, 400))
+    seq = "".join(rng.choice(list("ACGTN"), size=n))
+    # random f64 depths built from 1/k sums like the real pipeline
+    k = rng.integers(1, 9, size=(n, 6))
+    take = rng.random((n, 6)) < 0.7
+    depth = np.sum(np.where(take, 1.0 / k, 0.0), axis=1)
+    counts = rng.integers(0, 30, size=(8, n)).astype(np.int32)
+    counts[6:, :] = 0
+    invalid_thr = rng.integers(0, 10, size=n).astype(np.int32)
+    valid_thr = (invalid_thr + rng.integers(0, 10, size=n)).astype(np.int32)
+    status = rng.integers(0, len(STATUS_STRINGS), size=n).astype(np.int32)
+    new_id = rng.choice([0, 1, 2, 3, 4] + extra, size=n).astype(np.int32)
+    sparse_by_pos = {}
+    for p in rng.choice(n, size=min(n // 5, 20), replace=False):
+        items = [
+            (int(rng.choice(extra)), int(rng.integers(1, 9)))
+            for _ in range(int(rng.integers(1, 3)))
+        ]
+        sparse_by_pos[int(p)] = items
+
+    out_native = tmp_path / "native.tsv"
+    with open(out_native, "wt") as f:
+        assert polish_mod._write_debug_lines_native(
+            f, f"ctg{seed}", seq, depth, invalid_thr, valid_thr, counts,
+            sparse_by_pos, status, new_id, vocab,
+        )
+    out_python = tmp_path / "python.tsv"
+    monkeypatch.setattr(
+        polish_mod, "_write_debug_lines_native", lambda *a, **k: False
+    )
+    with open(out_python, "wt") as f:
+        polish_mod._write_debug_lines(
+            f, f"ctg{seed}", seq, depth, invalid_thr, valid_thr, counts,
+            sparse_by_pos, status, new_id, vocab,
+        )
+    assert out_native.read_bytes() == out_python.read_bytes()
