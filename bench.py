@@ -81,7 +81,8 @@ def time_chained(kernel_once, args, dep_index: int, iters: int):
     return dt, compile_s
 
 
-def bench_pallas(pos, vocab, num_positions, iters, tile_p, e_sub, verbose=True):
+def bench_pallas(pos, vocab, num_positions, iters, tile_p, e_sub,
+                 verbose=True, fused=False):
     import jax
     import jax.numpy as jnp
 
@@ -105,14 +106,14 @@ def bench_pallas(pos, vocab, num_positions, iters, tile_p, e_sub, verbose=True):
     def kernel_once(cp, cv, ct):
         return _vote_pallas_call(
             cp, cv, ct, n_tiles=n_tiles, interpret=interpret,
-            tile_p=tile_p, e_sub=e_sub,
+            tile_p=tile_p, e_sub=e_sub, fused=fused,
         )
 
     dt, compile_s = time_chained(kernel_once, d_args, 2, iters)
     rate = n_events / dt
     if verbose:
         eprint(
-            f"pallas tile_p={tile_p} e_sub={e_sub}: prep {prep_s:.2f}s "
+            f"pallas{' fused' if fused else ''} tile_p={tile_p} e_sub={e_sub}: prep {prep_s:.2f}s "
             f"(pad {pad_frac:.0%}), compile {compile_s:.1f}s, "
             f"kernel {dt * 1000:.2f} ms -> {rate / 1e6:.0f} M votes/s"
         )
@@ -153,6 +154,10 @@ def main():
     ap.add_argument("--tile-p", type=int, default=None)
     ap.add_argument("--e-sub", type=int, default=None)
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--ab-fused", action="store_true",
+                    help="A/B the fused vs standard kernel in-process")
     ap.add_argument("--no-check", action="store_true")
     args = ap.parse_args()
 
@@ -161,7 +166,20 @@ def main():
     eprint(f"device: {jax.devices()[0]}")
     pos, vocab = _make_events(args.events, args.positions)
 
-    if args.sweep:
+    if args.ab_fused:
+        tile_p, e_sub = 256, 8
+        rates = {}
+        for fused in (False, True, False, True):
+            r, _, _ = bench_pallas(
+                pos, vocab, args.positions, args.iters, tile_p, e_sub,
+                fused=fused,
+            )
+            rates.setdefault(fused, []).append(r)
+        for fused, rs in rates.items():
+            eprint(f"fused={fused}: " + ", ".join(f"{r/1e6:.0f}" for r in rs)
+                   + " M votes/s")
+        rate = max(max(rs) for rs in rates.values())
+    elif args.sweep:
         best = (0.0, None)
         for tile_p in (128, 256, 512, 1024):
             for e_sub in (8, 16, 32):
@@ -179,7 +197,8 @@ def main():
         tile_p = args.tile_p or vote_pallas.TILE_P
         e_sub = args.e_sub or vote_pallas.E_SUB
         rate, kernel_once, d_args = bench_pallas(
-            pos, vocab, args.positions, args.iters, tile_p, e_sub
+            pos, vocab, args.positions, args.iters, tile_p, e_sub,
+            fused=args.fused,
         )
         if not args.no_check:
             from polypolish_tpu.ops.vote import dense_counts_host
