@@ -184,7 +184,8 @@ def main():
         for tile_p in (128, 256, 512, 1024):
             for e_sub in (8, 16, 32):
                 rate, _, _ = bench_pallas(
-                    pos, vocab, args.positions, args.iters, tile_p, e_sub
+                    pos, vocab, args.positions, args.iters, tile_p, e_sub,
+                    fused=args.fused,
                 )
                 if rate > best[0]:
                     best = (rate, (tile_p, e_sub))
