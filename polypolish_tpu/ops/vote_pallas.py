@@ -305,6 +305,7 @@ def dense_counts_pallas(
     tile_p: int = TILE_P,
     e_sub: int = E_SUB,
     use_int8: bool = True,
+    fused: bool = True,
 ) -> jnp.ndarray:
     """(8, P) int32 dense vote counts via the MXU one-hot-matmul kernel."""
     if interpret is None:
@@ -315,6 +316,6 @@ def dense_counts_pallas(
     out = _vote_pallas_jit(
         jnp.asarray(chunk_pos), jnp.asarray(chunk_vocab),
         jnp.asarray(chunk_tile), n_tiles=n_tiles, interpret=interpret,
-        tile_p=tile_p, e_sub=e_sub, use_int8=use_int8,
+        tile_p=tile_p, e_sub=e_sub, use_int8=use_int8, fused=fused,
     )
     return out[:, :num_positions]

@@ -126,3 +126,37 @@ def test_pallas_heavy_single_position():
     out = np.asarray(dense_counts_pallas(pos, vocab, 100, interpret=True))
     assert out[2, 0] == 5000
     assert out.sum() == 5000
+
+
+@pytest.mark.parametrize("use_int8", [False, True])
+def test_pallas_fused_matches_unfused(use_int8):
+    """The fused single-NT-dot kernel (default) and the per-row-dot
+    kernel must produce bit-identical counts (both match host)."""
+    rng = np.random.default_rng(9)
+    pos, vocab = _random_events(rng, 30000, 2500)
+    host = dense_counts_host(pos, vocab, 2500)
+    for fused in (False, True):
+        out = np.asarray(dense_counts_pallas(
+            pos, vocab, 2500, interpret=True, use_int8=use_int8, fused=fused,
+        ))
+        assert np.array_equal(out, host), (fused, use_int8)
+
+
+def test_pallas_fused_chunks_per_step():
+    """fused + chunks_per_step>1 (K = e_sub*k*128 per grid step)."""
+    from polypolish_tpu.ops.vote_pallas import (
+        _vote_pallas_call, prepare_chunks,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(10)
+    pos, vocab = _random_events(rng, 12000, 1500)
+    host = dense_counts_host(pos, vocab, 1500)
+    cp, cv, ct, n_tiles = prepare_chunks(
+        pos, vocab, 1500, chunk_multiple=2
+    )
+    out = np.asarray(_vote_pallas_call(
+        jnp.asarray(cp), jnp.asarray(cv), jnp.asarray(ct),
+        n_tiles=n_tiles, interpret=True, chunks_per_step=2, fused=True,
+    ))[:, :1500]
+    assert np.array_equal(out, host)
