@@ -137,6 +137,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Skip jobs whose output already exists and is newer than "
         "its inputs",
     )
+    b.add_argument(
+        "--shard-across-hosts", action="store_true",
+        help="Pod-slice batch mode: each host process polishes the "
+        "jobs[process_index::process_count] slice of the manifest "
+        "(initialises jax.distributed first)",
+    )
 
     r = sub.add_parser(
         "full",
@@ -216,6 +222,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             from polypolish_tpu.pipeline.batch import parse_manifest, polish_batch
 
             jobs = parse_manifest(args.manifest)
+            if args.shard_across_hosts:
+                from polypolish_tpu.parallel.multihost import (
+                    initialize_distributed,
+                )
+
+                initialize_distributed()
             results = polish_batch(
                 jobs,
                 fraction_invalid=args.fraction_invalid,
@@ -227,6 +239,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 use_native=not args.pure_python,
                 workers=args.workers,
                 resume=args.resume,
+                shard_across_hosts=args.shard_across_hosts,
             )
             if any("error" in r for r in results):
                 return 1

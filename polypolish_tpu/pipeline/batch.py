@@ -53,6 +53,7 @@ def polish_batch(
     use_native: bool = True,
     workers: Optional[int] = None,
     resume: bool = False,
+    shard_across_hosts: bool = False,
 ) -> List[Dict]:
     """Polish every (assembly, out_path, sams) job; returns per-genome
     summaries [{'assembly', 'out', 'lengths' | 'error' | 'skipped'}].
@@ -60,10 +61,31 @@ def polish_batch(
     With resume=True, jobs whose output already exists and is newer than
     all of its inputs are skipped (crude per-genome checkpointing — the
     reference has no resume at all, SURVEY.md §5).
+
+    With shard_across_hosts=True (the pod-slice batch mode, BASELINE
+    config 5), each host process takes the round-robin slice
+    ``jobs[process_index::process_count]`` — genome polishing is
+    embarrassingly parallel across hosts (each genome's SAM parsing and
+    device steps are independent), so job-level data parallelism over
+    DCN-connected hosts is the TPU-native scale-out, with the in-process
+    thread pool and shared jitted device graphs covering the per-host
+    width.  Call parallel.multihost.initialize_distributed() first.
     """
     from polypolish_tpu.pipeline.polish import polish
 
     start = time.monotonic()
+    total_jobs = len(jobs)
+    if shard_across_hosts:
+        import jax
+
+        pidx, pcount = jax.process_index(), jax.process_count()
+        jobs = list(jobs)[pidx::pcount]
+        log.eprint(
+            f"host {pidx}/{pcount}: polishing {len(jobs)} of "
+            f"{total_jobs} genomes"
+        )
+        if not jobs:
+            return []
     if workers is None:
         workers = min(8, os.cpu_count() or 1, max(1, len(jobs)))
 

@@ -91,3 +91,39 @@ def test_parse_manifest(tmp_path):
     m.write_text("")
     with pytest.raises(PolypolishError, match="no jobs"):
         parse_manifest(str(m))
+
+
+def test_polish_batch_shard_across_hosts(tmp_path, monkeypatch):
+    """Simulated 3-host pod: the per-host manifest slices are disjoint,
+    cover every job, and each host's outputs match the unsharded run."""
+    import jax
+
+    jobs = []
+    for i in range(7):
+        job, _, _ = _write_job(tmp_path, 200 + i, f"h{i}")
+        jobs.append(job)
+
+    # unsharded reference run
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    ref_jobs = [
+        (a, str(ref_dir / f"ref_{i}.fasta"), s)
+        for i, (a, _, s) in enumerate(jobs)
+    ]
+    polish_batch(ref_jobs, workers=1)
+
+    done = []
+    for pidx in range(3):
+        monkeypatch.setattr(jax, "process_index", lambda p=pidx: p)
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        results = polish_batch(
+            jobs, workers=1, shard_across_hosts=True
+        )
+        assert all("error" not in r for r in results)
+        assert [r["assembly"] for r in results] == [
+            j[0] for j in jobs[pidx::3]
+        ]
+        done.extend(r["out"] for r in results)
+    assert sorted(done) == sorted(j[1] for j in jobs)
+    for i, (_, out_path, _) in enumerate(jobs):
+        assert open(out_path).read() == open(ref_jobs[i][1]).read()
