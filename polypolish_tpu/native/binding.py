@@ -140,6 +140,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,                     # num_positions
             ctypes.c_int32,                     # tile_p
             ctypes.c_int32,                     # e_sub
+            ctypes.c_int32,                     # n_threads
         ]
         lib.pp_free_chunks.argtypes = [ctypes.POINTER(_PPChunksView)]
         lib.pp_free_chunks.restype = None
@@ -220,17 +221,20 @@ def quick_parse_pair(file1, file2):
         lib.pp_free_quick(view)
 
 
-def prepare_chunks_native(pos, vocab, num_positions, tile_p, e_sub):
-    """C++ counting-sort chunk prep (layout-identical to the numpy
-    version in ops/vote_pallas.py)."""
+def prepare_chunks_native(pos, vocab, num_positions, tile_p, e_sub,
+                          n_threads=None):
+    """C++ parallel stable counting-sort chunk prep (layout-identical to
+    the numpy version in ops/vote_pallas.py for every thread count)."""
     lib = load_library()
     assert lib is not None
+    if n_threads is None:
+        n_threads = default_threads()
     pos = np.ascontiguousarray(pos, dtype=np.int64)
     vocab = np.ascontiguousarray(vocab, dtype=np.int32)
     view = lib.pp_prepare_chunks(
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vocab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        pos.shape[0], num_positions, tile_p, e_sub,
+        pos.shape[0], num_positions, tile_p, e_sub, n_threads,
     )
     try:
         v = view.contents

@@ -26,6 +26,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <string_view>
 #include <thread>
@@ -746,8 +747,10 @@ void pp_free_result(PPResultView* view) {
 // ---------------------------------------------------------------------
 
 struct ChunkBuffers {
-  std::vector<int32_t> chunk_pos;
-  std::vector<int32_t> chunk_vocab;
+  // uninitialised POD buffers: every slot is written exactly once (the
+  // scatter covers event slots; the pad pass covers each tile's slack)
+  std::unique_ptr<int32_t[]> chunk_pos;
+  std::unique_ptr<int32_t[]> chunk_vocab;
   std::vector<int32_t> chunk_tile;
 };
 
@@ -762,7 +765,8 @@ struct PPChunksView {
 
 PPChunksView* pp_prepare_chunks(const int64_t* pos, const int32_t* vocab,
                                 int64_t n, int64_t num_positions,
-                                int32_t tile_p, int32_t e_sub) {
+                                int32_t tile_p, int32_t e_sub,
+                                int32_t n_threads) {
   auto* buf = new ChunkBuffers();
   auto* view = new PPChunksView();
   memset(view, 0, sizeof(*view));
@@ -772,14 +776,41 @@ PPChunksView* pp_prepare_chunks(const int64_t* pos, const int32_t* vocab,
   int64_t n_tiles = (num_positions + tile_p - 1) / tile_p;
   if (n_tiles < 1) n_tiles = 1;
 
-  // pass 1: per-tile dense-event counts
-  std::vector<int64_t> per_tile((size_t)n_tiles, 0);
-  for (int64_t i = 0; i < n; ++i) {
-    int64_t p = pos[i];
-    int32_t v = vocab[i];
-    if (v >= 0 && v < 8 && p >= 0 && p < num_positions)
-      ++per_tile[(size_t)(p / tile_p)];
+  // Parallel stable counting sort over contiguous input ranges: the
+  // output layout is bit-identical for every thread count because each
+  // thread's events keep their input order and per-(thread, tile) write
+  // offsets are prefix-summed in thread order.
+  int T = n_threads > 0 ? n_threads : 1;
+  if ((int64_t)T > (n + (1 << 20) - 1) / (1 << 20))
+    T = (int)((n + (1 << 20) - 1) / (1 << 20));  // >=1M events per thread
+  if (T < 1) T = 1;
+  std::vector<int64_t> range((size_t)T + 1);
+  for (int th = 0; th <= T; ++th) range[(size_t)th] = n * th / T;
+
+  // pass 1: per-(thread, tile) dense-event counts
+  std::vector<std::vector<int64_t>> cnt((size_t)T);
+  auto count_range = [&](int th) {
+    auto& c = cnt[(size_t)th];
+    c.assign((size_t)n_tiles, 0);
+    for (int64_t i = range[(size_t)th]; i < range[(size_t)th + 1]; ++i) {
+      int64_t p = pos[i];
+      int32_t v = vocab[i];
+      if (v >= 0 && v < 8 && p >= 0 && p < num_positions)
+        ++c[(size_t)(p / tile_p)];
+    }
+  };
+  if (T == 1) {
+    count_range(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int th = 0; th < T; ++th) ts.emplace_back(count_range, th);
+    for (auto& t : ts) t.join();
   }
+
+  std::vector<int64_t> per_tile((size_t)n_tiles, 0);
+  for (int th = 0; th < T; ++th)
+    for (int64_t t = 0; t < n_tiles; ++t)
+      per_tile[(size_t)t] += cnt[(size_t)th][(size_t)t];
   std::vector<int64_t> chunks_per_tile((size_t)n_tiles);
   int64_t n_chunks = 0;
   for (int64_t t = 0; t < n_tiles; ++t) {
@@ -789,34 +820,77 @@ PPChunksView* pp_prepare_chunks(const int64_t* pos, const int32_t* vocab,
     n_chunks += c;
   }
 
-  buf->chunk_pos.assign((size_t)(n_chunks * e_b), -1);
-  buf->chunk_vocab.assign((size_t)(n_chunks * e_b), 0);
+  // uninitialised buffers: the scatter writes every event slot and the
+  // pad pass writes each tile's slack tail (pos=-1, vocab=0), so no
+  // full-buffer fill is ever needed
+  buf->chunk_pos.reset(new int32_t[(size_t)(n_chunks * e_b)]);
+  buf->chunk_vocab.reset(new int32_t[(size_t)(n_chunks * e_b)]);
   buf->chunk_tile.resize((size_t)n_chunks);
-  std::vector<int64_t> write_at((size_t)n_tiles);
+  std::vector<int64_t> tile_base((size_t)n_tiles);
   {
     int64_t chunk_off = 0;
     int64_t ci = 0;
     for (int64_t t = 0; t < n_tiles; ++t) {
-      write_at[(size_t)t] = chunk_off * e_b;
+      tile_base[(size_t)t] = chunk_off * e_b;
       for (int64_t c = 0; c < chunks_per_tile[(size_t)t]; ++c)
         buf->chunk_tile[(size_t)ci++] = (int32_t)t;
       chunk_off += chunks_per_tile[(size_t)t];
     }
   }
-  // pass 2: stable scatter into chunk slots
-  for (int64_t i = 0; i < n; ++i) {
-    int64_t p = pos[i];
-    int32_t v = vocab[i];
-    if (v >= 0 && v < 8 && p >= 0 && p < num_positions) {
-      int64_t t = p / tile_p;
-      int64_t slot = write_at[(size_t)t]++;
-      buf->chunk_pos[(size_t)slot] = (int32_t)(p - t * tile_p);
-      buf->chunk_vocab[(size_t)slot] = v;
+  // per-(thread, tile) start offsets: tile base + counts of earlier
+  // threads for that tile (prefix in thread order => stable)
+  std::vector<std::vector<int64_t>> start((size_t)T);
+  {
+    std::vector<int64_t> running = tile_base;
+    for (int th = 0; th < T; ++th) {
+      start[(size_t)th] = running;
+      for (int64_t t = 0; t < n_tiles; ++t)
+        running[(size_t)t] += cnt[(size_t)th][(size_t)t];
     }
   }
 
-  view->chunk_pos = buf->chunk_pos.data();
-  view->chunk_vocab = buf->chunk_vocab.data();
+  // pass 2: stable scatter into chunk slots (parallel over ranges)
+  auto scatter_range = [&](int th) {
+    auto& wa = start[(size_t)th];
+    for (int64_t i = range[(size_t)th]; i < range[(size_t)th + 1]; ++i) {
+      int64_t p = pos[i];
+      int32_t v = vocab[i];
+      if (v >= 0 && v < 8 && p >= 0 && p < num_positions) {
+        int64_t t = p / tile_p;
+        int64_t slot = wa[(size_t)t]++;
+        buf->chunk_pos[(size_t)slot] = (int32_t)(p - t * tile_p);
+        buf->chunk_vocab[(size_t)slot] = v;
+      }
+    }
+  };
+  // pad fill: only each tile's slack tail [base+events, base+chunks*e_b)
+  auto pad_range = [&](int th) {
+    int64_t lo = n_tiles * th / T, hi = n_tiles * (th + 1) / T;
+    for (int64_t t = lo; t < hi; ++t) {
+      int64_t from = tile_base[(size_t)t] + per_tile[(size_t)t];
+      int64_t to = tile_base[(size_t)t] + chunks_per_tile[(size_t)t] * e_b;
+      if (to > from) {
+        memset(buf->chunk_pos.get() + from, 0xff,
+               (size_t)(to - from) * sizeof(int32_t));  // -1 fill
+        memset(buf->chunk_vocab.get() + from, 0,
+               (size_t)(to - from) * sizeof(int32_t));
+      }
+    }
+  };
+  if (T == 1) {
+    scatter_range(0);
+    pad_range(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int th = 0; th < T; ++th) ts.emplace_back(scatter_range, th);
+    for (auto& t : ts) t.join();
+    ts.clear();
+    for (int th = 0; th < T; ++th) ts.emplace_back(pad_range, th);
+    for (auto& t : ts) t.join();
+  }
+
+  view->chunk_pos = buf->chunk_pos.get();
+  view->chunk_vocab = buf->chunk_vocab.get();
   view->chunk_tile = buf->chunk_tile.data();
   view->n_chunks = n_chunks;
   view->n_tiles = n_tiles;

@@ -160,3 +160,26 @@ def test_pallas_fused_chunks_per_step():
         n_tiles=n_tiles, interpret=True, chunks_per_step=2, fused=True,
     ))[:, :1500]
     assert np.array_equal(out, host)
+
+
+def test_prepare_chunks_native_thread_invariant():
+    """The parallel counting sort must produce a bit-identical chunk
+    layout for every thread count (contiguous input ranges + per-thread
+    per-tile prefix offsets preserve the stable order)."""
+    from polypolish_tpu.native import binding, loader
+
+    if not loader.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(31)
+    pos, vocab = _random_events(rng, 250_000, 40_000)
+    ref = None
+    for nt in (1, 2, 3, 8):
+        out = binding.prepare_chunks_native(
+            pos, vocab, 40_000, 256, 8, n_threads=nt
+        )
+        if ref is None:
+            ref = out
+        else:
+            assert out[3] == ref[3]
+            for a, b in zip(ref[:3], out[:3]):
+                assert np.array_equal(a, b), f"n_threads={nt}"
