@@ -133,6 +133,85 @@ def _make_vote_kernel_fused(tile_p: int, e_sub: int, mxu_dtype=jnp.float32,
     return _vote_kernel
 
 
+def _make_vote_kernel_split(tile_p: int, e_sub: int, mxu_dtype=jnp.float32,
+                            rows: Optional[int] = None):
+    """Split-position variant of the fused kernel: the per-event VPU cost
+    of building the position one-hot is the kernel's bottleneck (tile_p
+    int32 compares per event; the MXU itself is <1% utilised at M=8).
+    Decompose pos = hi*128 + lo: build ONE (128, K) one-hot of the low 7
+    bits (128 compares/event) and move the high bits into the tiny vocab
+    matrix — for each 128-lane output slab h, mask A by (hi == h)
+    (~9 ops/event/slab on an (8, K) operand) and take an NT dot against
+    the shared low-bit one-hot.  Per-event compares drop from
+    8 + tile_p to ~136 + 9*(tile_p/128), nearly flat in tile_p.
+
+    Padding events (pos == -1) have hi == -1 (arithmetic shift), so every
+    slab mask zeroes them; their lo one-hot column is masked out via A.
+    Counts stay exact int32 — bitwise identical to the other variants.
+    """
+    if rows is None:
+        rows = e_sub
+    assert tile_p % E_LANE == 0
+    n_hi = tile_p // E_LANE
+    lo_shift = E_LANE.bit_length() - 1  # log2(128)
+
+    def _vote_kernel(tiles_ref, pos_ref, vocab_ref, out_ref):
+        c = pl.program_id(0)
+        prev_tile = tiles_ref[jnp.maximum(c - 1, 0)]
+        is_first = jnp.logical_or(c == 0, tiles_ref[c] != prev_tile)
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        vrow = jax.lax.broadcasted_iota(jnp.int32, (DENSE_V, E_LANE), 0)
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (E_LANE, E_LANE), 0)
+        a_parts = []
+        b_parts = []
+        hi_parts = []
+        for sub in range(rows):  # static unroll
+            voc = vocab_ref[sub, :]  # (128,) int32
+            pos = pos_ref[sub, :]  # (128,) int32, -1 = padding
+            lo = jnp.bitwise_and(pos, E_LANE - 1)
+            a_parts.append((vrow == voc[None, :]).astype(mxu_dtype))
+            b_parts.append((lrow == lo[None, :]).astype(mxu_dtype))
+            hi_parts.append(jnp.right_shift(pos, lo_shift)[None, :])
+        a = jnp.concatenate(a_parts, axis=1)  # (8, K)
+        bt = jnp.concatenate(b_parts, axis=1)  # (128, K)
+        hi = jnp.concatenate(hi_parts, axis=1)  # (1, K)
+        acc_t = jnp.int32 if mxu_dtype == jnp.int8 else jnp.float32
+        slabs = []
+        for h in range(n_hi):  # static unroll: one 128-lane slab per dot
+            a_h = a * (hi == h).astype(mxu_dtype)  # (8, K)
+            d = jax.lax.dot_general(
+                a_h, bt, (((1,), (1,)), ((), ())),
+                preferred_element_type=acc_t,
+            )
+            slabs.append(d.astype(jnp.int32))  # (8, 128)
+        out_ref[:, :] += jnp.concatenate(slabs, axis=1)
+
+    return _vote_kernel
+
+
+_KERNEL_MAKERS = {
+    "unfused": _make_vote_kernel,
+    "fused": _make_vote_kernel_fused,
+    "split": _make_vote_kernel_split,
+}
+
+
+def _variant_name(fused) -> str:
+    """``fused`` accepts the legacy bools (False/True) or a variant name
+    ('unfused' | 'fused' | 'split')."""
+    if fused is True:
+        return "fused"
+    if fused is False:
+        return "unfused"
+    if fused in _KERNEL_MAKERS:
+        return fused
+    raise ValueError(f"unknown kernel variant: {fused!r}")
+
+
 def prepare_chunks(
     pos: np.ndarray,
     vocab: np.ndarray,
@@ -254,7 +333,7 @@ def _vote_pallas_call(
     step_tile = chunk_tile[::k] if k > 1 else chunk_tile
     mxu_dtype = jnp.int8 if use_int8 else jnp.float32
     in_block = (e_sub * k, E_LANE)
-    make = _make_vote_kernel_fused if fused else _make_vote_kernel
+    make = _KERNEL_MAKERS[_variant_name(fused)]
     kernel = make(tile_p, e_sub, mxu_dtype, rows=e_sub * k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
