@@ -31,7 +31,7 @@ pileups; e_sub trades grid-step overhead against padding waste.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -319,7 +319,7 @@ def _pad_chunk_count(chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub,
 def _vote_pallas_call(
     chunk_pos, chunk_vocab, chunk_tile, n_tiles, interpret,
     tile_p: int = TILE_P, e_sub: int = E_SUB, use_int8: bool = True,
-    chunks_per_step: int = 1, fused: bool = True,
+    chunks_per_step: int = 1, fused: Union[bool, str] = True,
 ):
     """chunks_per_step > 1 processes k consecutive chunks per grid step
     (the caller must have padded each tile's chunk count to a multiple
@@ -384,9 +384,13 @@ def dense_counts_pallas(
     tile_p: int = TILE_P,
     e_sub: int = E_SUB,
     use_int8: bool = True,
-    fused: bool = True,
+    fused: Union[bool, str] = True,
 ) -> jnp.ndarray:
-    """(8, P) int32 dense vote counts via the MXU one-hot-matmul kernel."""
+    """(8, P) int32 dense vote counts via the MXU one-hot-matmul kernel.
+
+    ``fused`` selects the kernel variant: True/'fused' (single NT dot,
+    the default), False/'unfused' (per-row dots), or 'split' (low/high
+    position-bit decomposition; see _make_vote_kernel_split)."""
     if interpret is None:
         interpret = _default_interpret()
     chunk_pos, chunk_vocab, chunk_tile, n_tiles = prepare_chunks(

@@ -409,7 +409,11 @@ def polish_one_sequence(
     polished_seq = _apply_edits(contig.seq, status, new_id, vocab)
     write_fasta_record(out, name, description, polished_seq)
 
-    total_depth = float(np.sum(depth))
+    # Sequential left-fold, not np.sum (pairwise): the reference adds
+    # per-base depths one at a time in position order (polish.rs:177) and
+    # f64 addition is order-sensitive — np.add.accumulate is a strict
+    # sequential scan, so its last element is the exact left-fold.
+    total_depth = float(np.cumsum(depth)[-1]) if len(depth) else 0.0
     zero_depth_count = int(np.count_nonzero(depth == 0.0))
     changed_count = int(np.count_nonzero(status == ST_CHANGED))
     print_polishing_info(seq_len, total_depth, zero_depth_count, changed_count)

@@ -130,16 +130,19 @@ def test_pallas_heavy_single_position():
 
 @pytest.mark.parametrize("use_int8", [False, True])
 def test_pallas_fused_matches_unfused(use_int8):
-    """The fused single-NT-dot kernel (default) and the per-row-dot
-    kernel must produce bit-identical counts (both match host)."""
+    """Every kernel variant ('unfused', 'fused', 'split') must produce
+    bit-identical counts (all match host)."""
+    from polypolish_tpu.ops.vote_pallas import _KERNEL_MAKERS
+
     rng = np.random.default_rng(9)
     pos, vocab = _random_events(rng, 30000, 2500)
     host = dense_counts_host(pos, vocab, 2500)
-    for fused in (False, True):
+    for variant in _KERNEL_MAKERS:
         out = np.asarray(dense_counts_pallas(
-            pos, vocab, 2500, interpret=True, use_int8=use_int8, fused=fused,
+            pos, vocab, 2500, interpret=True, use_int8=use_int8,
+            fused=variant,
         ))
-        assert np.array_equal(out, host), (fused, use_int8)
+        assert np.array_equal(out, host), (variant, use_int8)
 
 
 def test_pallas_fused_chunks_per_step():
