@@ -1,0 +1,118 @@
+"""Differential validation: framework vs the reference-replica binary.
+
+VERDICT.md round 1 flagged that every parity gate compared against
+tests/oracle.py, written from the same SURVEY reading.  ppref
+(native/ref_replica.cc) is a second, structurally different
+implementation written directly against the Rust source's observable
+behavior (per-function citations in the .cc) — byte-identical FASTA and
+--debug TSV across framework backends AND ppref catches shared
+misreadings the oracle alone cannot.
+"""
+
+import io
+import subprocess
+
+import numpy as np
+import pytest
+
+import synth
+
+from polypolish_tpu import log
+from polypolish_tpu.native import replica
+from polypolish_tpu.pipeline.polish import polish
+
+pytestmark = pytest.mark.skipif(
+    replica.build() is None, reason="ppref build unavailable"
+)
+
+
+def _framework_polish(tmp_path, asm, sams, tag, **kw):
+    out = io.StringIO()
+    dbg = str(tmp_path / f"fw_{tag}.tsv")
+    with log.quiet():
+        polish(dbg, kw.get("fraction_invalid", 0.2),
+               kw.get("fraction_valid", 0.5), kw.get("max_errors", 10),
+               kw.get("min_depth", 5), kw.get("careful", False),
+               str(asm), [str(s) for s in sams], out=out, backend="host")
+    return out.getvalue().encode(), open(dbg, "rb").read()
+
+
+def _replica_polish(tmp_path, asm, sams, tag, **kw):
+    dbg = str(tmp_path / f"ref_{tag}.tsv")
+    proc = replica.run_polish(str(asm), [str(s) for s in sams], debug=dbg,
+                              **kw)
+    assert proc.returncode == 0, proc.stderr.decode()
+    return proc.stdout, open(dbg, "rb").read()
+
+
+def _write_case(tmp_path, seed, **case_kw):
+    fasta, sam_text = synth.make_polish_case(seed=seed, **case_kw)
+    asm = tmp_path / f"asm_{seed}.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / f"aln_{seed}.sam"
+    sam.write_text(sam_text)
+    return asm, sam
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_polish_matches_replica(tmp_path, seed):
+    asm, sam = _write_case(
+        tmp_path, seed, genome_len=800, n_reads=500, read_len=50,
+        err=0.06, multi_frac=0.3,
+    )
+    fw_fa, fw_tsv = _framework_polish(tmp_path, asm, [sam], seed)
+    rp_fa, rp_tsv = _replica_polish(tmp_path, asm, [sam], seed)
+    assert fw_fa == rp_fa
+    assert fw_tsv == rp_tsv
+
+
+@pytest.mark.parametrize("careful", [False, True])
+def test_polish_matches_replica_params(tmp_path, careful):
+    asm, sam = _write_case(
+        tmp_path, 42, genome_len=600, n_reads=400, read_len=40,
+        err=0.08, multi_frac=0.4,
+    )
+    kw = dict(fraction_invalid=0.3, fraction_valid=0.6, max_errors=4,
+              min_depth=2, careful=careful)
+    fw_fa, fw_tsv = _framework_polish(tmp_path, asm, [sam],
+                                      f"c{careful}", **kw)
+    rp_fa, rp_tsv = _replica_polish(tmp_path, asm, [sam],
+                                    f"c{careful}", **kw)
+    assert fw_fa == rp_fa
+    assert fw_tsv == rp_tsv
+
+
+def test_polish_matches_replica_two_sams(tmp_path):
+    asm, sam1 = _write_case(
+        tmp_path, 7, genome_len=700, n_reads=300, read_len=45,
+        err=0.05, multi_frac=0.2,
+    )
+    # second SAM over the same draft: different reads, same contig
+    fasta2, sam2_text = synth.make_polish_case(
+        seed=8, genome_len=700, n_reads=300, read_len=45, err=0.05,
+        multi_frac=0.2, n_draft_errors=0,
+    )
+    # rewrite sam2 against the same assembly: identical contig name and
+    # length, so it is a valid second alignment file for asm
+    sam2 = tmp_path / "aln2.sam"
+    sam2.write_text(sam2_text)
+    fw_fa, fw_tsv = _framework_polish(tmp_path, asm, [sam1, sam2], "two")
+    rp_fa, rp_tsv = _replica_polish(tmp_path, asm, [sam1, sam2], "two")
+    assert fw_fa == rp_fa
+    assert fw_tsv == rp_tsv
+
+
+def test_polish_matches_replica_shuffled_groups(tmp_path):
+    """Secondary '*'-seq line first in its group (strand recovery)."""
+    fasta, sam_text = synth.make_polish_case(
+        seed=11, genome_len=500, n_reads=300, read_len=40, err=0.06,
+        multi_frac=0.5, shuffle_groups=True,
+    )
+    asm = tmp_path / "asm.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "aln.sam"
+    sam.write_text(sam_text)
+    fw_fa, fw_tsv = _framework_polish(tmp_path, asm, [sam], "shuf")
+    rp_fa, rp_tsv = _replica_polish(tmp_path, asm, [sam], "shuf")
+    assert fw_fa == rp_fa
+    assert fw_tsv == rp_tsv
