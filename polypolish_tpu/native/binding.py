@@ -72,6 +72,53 @@ class _PPDebugView(ctypes.Structure):
     ]
 
 
+class _PPRunsView(ctypes.Structure):
+    _fields_ = [
+        ("run_contig", ctypes.POINTER(ctypes.c_int32)),
+        ("run_start", ctypes.POINTER(ctypes.c_int32)),
+        ("run_len", ctypes.POINTER(ctypes.c_int32)),
+        ("run_k", ctypes.POINTER(ctypes.c_int32)),
+        ("n_runs", ctypes.c_int64),
+        ("vocab_bytes", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_events", ctypes.c_int64),
+        ("ov_idx", ctypes.POINTER(ctypes.c_int64)),
+        ("ov_vid", ctypes.POINTER(ctypes.c_int32)),
+        ("n_overflow", ctypes.c_int64),
+        ("new_vocab", ctypes.c_void_p),
+        ("new_vocab_len", ctypes.c_int64),
+        ("n_new_vocab", ctypes.c_int64),
+        ("file_alignments", ctypes.POINTER(ctypes.c_int64)),
+        ("file_used", ctypes.POINTER(ctypes.c_int64)),
+        ("file_reads", ctypes.POINTER(ctypes.c_int64)),
+        ("n_files", ctypes.c_int64),
+        ("status", ctypes.c_int),
+        ("error", ctypes.c_char_p),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
+class _PPFoldView(ctypes.Structure):
+    _fields_ = [
+        ("sp_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("sp_vid", ctypes.POINTER(ctypes.c_int32)),
+        ("sp_cnt", ctypes.POINTER(ctypes.c_int32)),
+        ("n_sparse", ctypes.c_int64),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
+class _PPChunks2View(ctypes.Structure):
+    _fields_ = [
+        ("chunk_pos", ctypes.POINTER(ctypes.c_uint8)),
+        ("chunk_vocab", ctypes.POINTER(ctypes.c_uint8)),
+        ("chunk_tile", ctypes.POINTER(ctypes.c_int32)),
+        ("n_chunks", ctypes.c_int64),
+        ("n_tiles", ctypes.c_int64),
+        ("n_dense_events", ctypes.c_int64),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
 class _PPResultView(ctypes.Structure):
     _fields_ = [
         ("contig_id", ctypes.POINTER(ctypes.c_int32)),
@@ -181,6 +228,43 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.pp_free_debug.argtypes = [ctypes.POINTER(_PPDebugView)]
         lib.pp_free_debug.restype = None
+        lib.pp_parse_runs.restype = ctypes.POINTER(_PPRunsView)
+        lib.pp_parse_runs.argtypes = [
+            ctypes.c_char_p,                    # filenames '\n'-joined
+            ctypes.c_int64,                     # n_files
+            ctypes.c_char_p,                    # contig names '\n'-joined
+            ctypes.POINTER(ctypes.c_int64),     # contig lengths
+            ctypes.c_int64,                     # n_contigs
+            ctypes.c_char_p,                    # vocab '\n'-joined
+            ctypes.c_int64,                     # n_vocab
+            ctypes.c_int64,                     # max_errors
+            ctypes.c_int32,                     # careful
+            ctypes.c_int32,                     # n_threads
+        ]
+        lib.pp_free_runs.argtypes = [ctypes.POINTER(_PPRunsView)]
+        lib.pp_free_runs.restype = None
+        lib.pp_fold_contig.restype = ctypes.POINTER(_PPFoldView)
+        lib.pp_fold_contig.argtypes = [
+            ctypes.POINTER(_PPRunsView),
+            ctypes.c_int32,                     # contig id
+            ctypes.c_int64,                     # P
+            ctypes.c_void_p,                    # counts_out (8*P) or NULL
+            ctypes.POINTER(ctypes.c_double),    # depth_out (P)
+            ctypes.c_int32,                     # parallel
+        ]
+        lib.pp_free_fold.argtypes = [ctypes.POINTER(_PPFoldView)]
+        lib.pp_free_fold.restype = None
+        lib.pp_chunks_from_runs.restype = ctypes.POINTER(_PPChunks2View)
+        lib.pp_chunks_from_runs.argtypes = [
+            ctypes.POINTER(_PPRunsView),
+            ctypes.c_int32,                     # contig id
+            ctypes.c_int64,                     # P
+            ctypes.c_int32,                     # tile_p
+            ctypes.c_int32,                     # e_sub
+            ctypes.c_int32,                     # n_threads
+        ]
+        lib.pp_free_chunks2.argtypes = [ctypes.POINTER(_PPChunks2View)]
+        lib.pp_free_chunks2.restype = None
         _lib = lib
         return _lib
 

@@ -1,0 +1,246 @@
+"""Run-based native polish pipeline (round-2 host engine).
+
+One ``pp_parse_runs`` call parses ALL SAM files (parallel byte ranges
+per file, files in order) into per-alignment runs: a 16-byte header
+(contig, ref_start, n_events, k) plus one vocab byte per event — ~1/10
+the memory traffic of the (pos, vocab, weight) event stream, which was
+the host bottleneck (BENCH_NOTES.md round 2).  Per contig the runs are
+then either
+
+- folded in C++ into the (8, P) dense count tensor + sequential-exact
+  f64 depth + sparse tier (host backend; reference pileup.rs:56-65
+  semantics), or
+- counting-sorted in C++ into compact Pallas chunks (uint8 tile-local
+  positions, uint8 vocab, pad = vocab 255) for the device backends,
+  with the depth folded host-side (f64 order parity).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from polypolish_tpu.errors import quit_with_error
+from polypolish_tpu.vocab import DENSE_V, Vocab
+
+
+def _as_np(ptr, n, dtype):
+    if n == 0:
+        return np.empty(0, dtype=dtype)
+    return np.ctypeslib.as_array(ptr, shape=(int(n),))
+
+
+class ParsedRuns:
+    """Owns a PPRunsView; exposes per-contig fold/chunks/events."""
+
+    def __init__(self, lib, view, contig_names: List[str],
+                 contig_lens: Dict[str, int]):
+        self._lib = lib
+        self._view = view
+        self.contig_names = contig_names
+        self.contig_lens = contig_lens
+        v = view.contents
+        self.n_runs = int(v.n_runs)
+        self.n_events = int(v.n_events)
+        self.base_vocab_len = DENSE_V  # overwritten by parse_runs
+        self.file_stats: List[Tuple[int, int, int]] = [
+            (int(v.file_alignments[i]), int(v.file_used[i]),
+             int(v.file_reads[i]))
+            for i in range(int(v.n_files))
+        ]
+
+    # -- lifecycle ----------------------------------------------------
+    def close(self) -> None:
+        if self._view is not None:
+            self._lib.pp_free_runs(self._view)
+            self._view = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # best-effort
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # -- per-contig consumers ------------------------------------------
+    def fold(self, contig_name: str, want_counts: bool = True,
+             parallel: bool = True):
+        """Returns (counts (8,P) int32 or None, depth (P,) f64, sparse)
+        where sparse = (pos i64, vid i32, cnt i32) sorted ascending —
+        drop-in for ops.vote.count_votes on the host backend."""
+        cid = self.contig_names.index(contig_name)
+        P = self.contig_lens[contig_name]
+        depth = np.empty(P, dtype=np.float64)
+        counts = np.empty((DENSE_V, P), dtype=np.int32) if want_counts \
+            else None
+        fv = self._lib.pp_fold_contig(
+            self._view, cid, P,
+            counts.ctypes.data_as(ctypes.c_void_p) if want_counts else None,
+            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            1 if parallel else 0,
+        )
+        try:
+            f = fv.contents
+            n = int(f.n_sparse)
+            sparse = (
+                _as_np(f.sp_pos, n, np.int64).copy(),
+                _as_np(f.sp_vid, n, np.int32).copy(),
+                _as_np(f.sp_cnt, n, np.int32).copy().astype(np.int64),
+            )
+        finally:
+            self._lib.pp_free_fold(fv)
+        return counts, depth, sparse
+
+    def sparse(self, contig_name: str):
+        """Sparse-tier counts (pos i64, vid i64, cnt i64, ascending) for
+        one contig WITHOUT a dense fold.  Valid because with a fresh
+        base vocab (<= DENSE_V strings) every sparse event travels via
+        the overflow list; falls back to fold() otherwise."""
+        if self.base_vocab_len > DENSE_V:
+            return self.fold(contig_name, want_counts=True)[2]
+        rc, rs, rl, rk, vb, ov_i, ov_v = self.raw()
+        empty = np.empty(0, dtype=np.int64)
+        if ov_i.size == 0:
+            return empty, empty, empty
+        off = np.concatenate(
+            ([0], np.cumsum(rl.astype(np.int64)))
+        )
+        run_idx = np.searchsorted(off, ov_i, side="right") - 1
+        cid = self.contig_names.index(contig_name)
+        m = rc[run_idx] == cid
+        if not m.any():
+            return empty, empty, empty
+        ri = run_idx[m]
+        pos = rs.astype(np.int64)[ri] + (ov_i[m] - off[ri])
+        vid = ov_v[m].astype(np.int64)
+        keys = pos * (2**31) + vid
+        uk, cnt = np.unique(keys, return_counts=True)
+        return uk // (2**31), uk % (2**31), cnt
+
+    def chunks(self, contig_name: str, tile_p: int, e_sub: int,
+               n_threads: int = 0, num_positions: Optional[int] = None):
+        """Compact Pallas chunks for one contig: (chunk_pos uint8
+        (C*e_sub,128), chunk_vocab uint8 likewise [255 = pad],
+        chunk_tile int32 (C,), n_tiles).  None when tile_p > 256
+        (caller falls back to the numpy packer).  num_positions may
+        exceed the contig length (position-axis padding: every tile
+        still gets at least one chunk so all output blocks initialise).
+        """
+        if tile_p > 256:
+            return None
+        cid = self.contig_names.index(contig_name)
+        P = num_positions if num_positions is not None \
+            else self.contig_lens[contig_name]
+        cv = self._lib.pp_chunks_from_runs(
+            self._view, cid, P, tile_p, e_sub, n_threads
+        )
+        try:
+            c = cv.contents
+            if int(c.n_tiles) == 0:
+                return None
+            n_chunks = int(c.n_chunks)
+            e_b = e_sub * 128
+            chunk_pos = _as_np(
+                c.chunk_pos, n_chunks * e_b, np.uint8
+            ).copy().reshape(n_chunks * e_sub, 128)
+            chunk_vocab = _as_np(
+                c.chunk_vocab, n_chunks * e_b, np.uint8
+            ).copy().reshape(n_chunks * e_sub, 128)
+            chunk_tile = _as_np(c.chunk_tile, n_chunks, np.int32).copy()
+            return chunk_pos, chunk_vocab, chunk_tile, int(c.n_tiles)
+        finally:
+            self._lib.pp_free_chunks2(cv)
+
+    # -- raw access (tests, sharded backend) ---------------------------
+    def raw(self):
+        """Zero-copy numpy views of the run arrays (valid until close):
+        (run_contig, run_start, run_len, run_k, vocab_bytes,
+        ov_idx, ov_vid)."""
+        v = self._view.contents
+        return (
+            _as_np(v.run_contig, v.n_runs, np.int32),
+            _as_np(v.run_start, v.n_runs, np.int32),
+            _as_np(v.run_len, v.n_runs, np.int32),
+            _as_np(v.run_k, v.n_runs, np.int32),
+            _as_np(v.vocab_bytes, v.n_events, np.uint8),
+            _as_np(v.ov_idx, v.n_overflow, np.int64),
+            _as_np(v.ov_vid, v.n_overflow, np.int32),
+        )
+
+    def events(self, contig_name: Optional[str] = None):
+        """Expand runs to the legacy (pos i64, vid i32, weight f64)
+        event arrays in stream order (optionally one contig's)."""
+        rc, rs, rl, rk, vb, ov_i, ov_v = self.raw()
+        vid = vb.astype(np.int32)
+        if ov_i.size:
+            vid[ov_i] = ov_v
+        ends = np.cumsum(rl.astype(np.int64))
+        starts = ends - rl
+        # event -> run index
+        run_of = np.repeat(np.arange(rc.size, dtype=np.int64), rl)
+        pos = rs.astype(np.int64)[run_of] + \
+            (np.arange(vid.size, dtype=np.int64) - starts[run_of])
+        weight = (1.0 / rk.astype(np.float64))[run_of]
+        if contig_name is None:
+            return pos, vid, weight
+        cid = self.contig_names.index(contig_name)
+        mask = rc[run_of] == cid
+        return pos[mask], vid[mask], weight[mask]
+
+
+def parse_runs(
+    filenames: Sequence[str],
+    contig_names: List[str],
+    contig_lens: Dict[str, int],
+    vocab: Vocab,
+    max_errors: int,
+    careful: bool,
+    n_threads: Optional[int] = None,
+) -> ParsedRuns:
+    """Parse SAM files into a ParsedRuns; interns new vocab strings into
+    ``vocab`` (ids line up with the native side); fatals mirror the
+    reference (alignment.rs:214-272)."""
+    from polypolish_tpu.native import binding
+
+    lib = binding.load_library()
+    assert lib is not None
+    if n_threads is None:
+        n_threads = binding.default_threads()
+
+    files_blob = "\n".join(filenames).encode("utf-8")
+    names_blob = "\n".join(contig_names).encode("utf-8")
+    lens = np.asarray([contig_lens[n] for n in contig_names], dtype=np.int64)
+    vocab_blob = "\n".join(
+        binding._transfer_safe(s) for s in vocab.strings
+    ).encode("latin-1")
+
+    base_vocab_len = len(vocab.strings)
+    view = lib.pp_parse_runs(
+        files_blob, len(filenames), names_blob,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(contig_names), vocab_blob, base_vocab_len,
+        max_errors, 1 if careful else 0, n_threads,
+    )
+    v = view.contents
+    if v.status != 0:
+        err = v.error.decode("utf-8", errors="replace")
+        lib.pp_free_runs(view)
+        quit_with_error(err)
+    if v.n_new_vocab > 0:
+        blob = ctypes.string_at(
+            ctypes.cast(v.new_vocab, ctypes.c_void_p), v.new_vocab_len
+        ).decode("latin-1")
+        base = len(vocab.strings)
+        for i, s in enumerate(blob.split("\n")[: v.n_new_vocab]):
+            vid = vocab.intern(s)
+            assert vid == base + i, (vid, base, i, s)
+    pr = ParsedRuns(lib, view, contig_names, contig_lens)
+    pr.base_vocab_len = base_vocab_len
+    return pr

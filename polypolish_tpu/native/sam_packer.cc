@@ -172,7 +172,7 @@ struct Shared {
   std::string_view data;
 };
 
-struct Worker {
+struct WorkerBase {
   const Shared* sh = nullptr;
   Result res;
   Interner interner;
@@ -189,9 +189,63 @@ struct Worker {
   }
 };
 
+// Legacy event-stream sink: one (contig, pos, vocab, weight) tuple per
+// vote, materialised into Result's parallel vectors.
+struct Worker : WorkerBase {
+  int32_t cur_contig = 0;
+  int64_t cur_pos = 0;
+  double cur_w = 0.0;
+
+  void sink_begin(int32_t contig, int64_t ref_start, int64_t n_events,
+                  int32_t k) {
+    (void)n_events;
+    cur_contig = contig;
+    cur_pos = ref_start;
+    cur_w = 1.0 / (double)k;
+  }
+  void sink_emit(int32_t vid) {
+    res.contig_id.push_back(cur_contig);
+    res.pos.push_back((int32_t)cur_pos++);
+    res.vocab.push_back(vid);
+    res.weight.push_back(cur_w);
+  }
+};
+
+// Run-based sink: one 16-byte header per good alignment (its events are
+// the CONSECUTIVE target positions ref_start..ref_start+n-1, see
+// pileup.rs:192-199) plus one vocab byte per event (255 = overflow into
+// a side list for interned ids >= 255).  ~1 byte/event instead of 20 —
+// the event stream's memory traffic was the host bottleneck (see
+// BENCH_NOTES.md round 2).
+struct RunsWorker : WorkerBase {
+  std::vector<int32_t> run_contig, run_start, run_len, run_k;
+  std::vector<uint8_t> vbytes;
+  std::vector<std::pair<int64_t, int32_t>> overflow;  // (local evt idx, vid)
+
+  void sink_begin(int32_t contig, int64_t ref_start, int64_t n_events,
+                  int32_t k) {
+    run_contig.push_back(contig);
+    run_start.push_back((int32_t)ref_start);
+    run_len.push_back((int32_t)n_events);
+    run_k.push_back(k);
+  }
+  void sink_emit(int32_t vid) {
+    // Bytes may only carry BASE-vocab ids (identical across threads);
+    // locally interned ids are thread-local and must go through the
+    // overflow list, whose vids the merge remaps to global ids.
+    if (vid >= 0 && vid < interner.n_base && vid < 255) {
+      vbytes.push_back((uint8_t)vid);
+    } else {
+      overflow.emplace_back((int64_t)vbytes.size(), vid);
+      vbytes.push_back(255);
+    }
+  }
+};
+
 // Process one read group (consecutive aligned SAM lines, same name).
 // Reference: alignment.rs:275-305.  line_no = last parsed line (errors).
-bool process_group(Worker& w, std::vector<Aln>& group, int64_t line_no) {
+template <class W>
+bool process_group(W& w, std::vector<Aln>& group, int64_t line_no) {
   const Shared& sh = *w.sh;
   Result& res = w.res;
   if (sh.careful && group.size() > 1) return true;
@@ -216,7 +270,6 @@ bool process_group(Worker& w, std::vector<Aln>& group, int64_t line_no) {
     if (a.good) ++n_good;
   }
   if (n_good == 0) return true;
-  double weight = 1.0 / (double)n_good;
   res.used_count += n_good;
 
   std::vector<std::pair<int32_t, int32_t>> ranges;
@@ -301,7 +354,7 @@ bool process_group(Worker& w, std::vector<Aln>& group, int64_t line_no) {
                     line_no);
     }
 
-    int64_t pos = a.ref_start;
+    w.sink_begin(contig, a.ref_start, (int64_t)ranges.size(), n_good);
     for (const auto& [s, e] : ranges) {
       int32_t vid;
       if (s == e) {
@@ -313,17 +366,13 @@ bool process_group(Worker& w, std::vector<Aln>& group, int64_t line_no) {
       } else {
         vid = w.interner.intern(seq.substr((size_t)s, (size_t)(e - s)));
       }
-      res.contig_id.push_back(contig);
-      res.pos.push_back((int32_t)pos);
-      res.vocab.push_back(vid);
-      res.weight.push_back(weight);
-      ++pos;
+      w.sink_emit(vid);
     }
   }
   return true;
 }
 
-bool parse_line(Worker& w, const char* line, size_t len, int64_t line_no,
+bool parse_line(WorkerBase& w, const char* line, size_t len, int64_t line_no,
                 Aln& a) {
   const char* fields[256];
   size_t flens[256];
@@ -403,7 +452,8 @@ std::string_view quick_name(std::string_view data, size_t line_start,
 // Process lines in [begin, hard_end), continuing past hard_end while the
 // open group persists; skip the leading lines whose aligned name equals
 // prev_name (they belong to the previous range's open group).
-void run_range(Worker& w, size_t begin, size_t hard_end,
+template <class W>
+void run_range(W& w, size_t begin, size_t hard_end,
                std::string_view prev_name, int64_t start_line_no) {
   const Shared& sh = *w.sh;
   std::string_view data = sh.data;
@@ -530,47 +580,54 @@ void merge_results(Result* out, std::vector<Worker>& workers,
   }
 }
 
-void run_parallel(Shared& sh, Result* out, int n_threads) {
+// Thread count actually worth using for an n-byte file (>= 1 MB each).
+int clamp_threads(size_t n, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  size_t min_range = 1 << 20;
+  if (n_threads > 1 && n / (size_t)n_threads < min_range)
+    n_threads = (int)std::max<size_t>(1, n / min_range);
+  return n_threads;
+}
+
+// Range-split parse over `workers` (sized by the caller to the thread
+// count); returns the index of the worker holding the earliest fatal
+// error, or -1 on success.
+template <class W>
+int run_workers(Shared& sh, std::vector<W>& workers) {
   std::string_view data = sh.data;
   size_t n = data.size();
-  if (n_threads < 1) n_threads = 1;
-  size_t min_range = 1 << 20;  // 1 MB minimum per thread
+  int n_threads = (int)workers.size();
   size_t per = n / (size_t)n_threads;
-  if (per < min_range && n_threads > 1) {
-    n_threads = (int)std::max<size_t>(1, n / min_range);
-    per = n / (size_t)n_threads;
-  }
 
   // line-aligned range starts + their global line numbers
-  std::vector<size_t> begins(n_threads + 1);
-  std::vector<int64_t> line_before(n_threads);
+  std::vector<size_t> begins((size_t)n_threads + 1);
+  std::vector<int64_t> line_before((size_t)n_threads);
   begins[0] = 0;
   line_before[0] = 0;
   for (int t = 1; t < n_threads; ++t) {
     size_t b = per * (size_t)t;
     size_t nl = data.find('\n', b);
-    begins[t] = (nl == std::string_view::npos) ? n : nl + 1;
+    begins[(size_t)t] = (nl == std::string_view::npos) ? n : nl + 1;
   }
-  begins[n_threads] = n;
+  begins[(size_t)n_threads] = n;
   // count newlines up to each begin (single memchr-driven pass)
   {
     size_t prev = 0;
     int64_t lines = 0;
     for (int t = 1; t < n_threads; ++t) {
       const char* p = data.data() + prev;
-      const char* stop = data.data() + begins[t];
+      const char* stop = data.data() + begins[(size_t)t];
       while (p < stop) {
         const char* q = (const char*)memchr(p, '\n', (size_t)(stop - p));
         if (!q) break;
         ++lines;
         p = q + 1;
       }
-      prev = begins[t];
-      line_before[t] = lines;
+      prev = begins[(size_t)t];
+      line_before[(size_t)t] = lines;
     }
   }
 
-  std::vector<Worker> workers((size_t)n_threads);
   for (auto& w : workers) {
     w.sh = &sh;
     w.interner.base = &sh.base_vocab;
@@ -581,7 +638,7 @@ void run_parallel(Shared& sh, Result* out, int n_threads) {
 
   std::vector<std::thread> threads;
   for (int t = 0; t < n_threads; ++t) {
-    Worker& w = workers[(size_t)t];
+    W& w = workers[(size_t)t];
     size_t begin = begins[(size_t)t];
     size_t hard_end = begins[(size_t)t + 1];
     std::string_view prev_name =
@@ -607,9 +664,16 @@ void run_parallel(Shared& sh, Result* out, int n_threads) {
       best_t = (int)t;
     }
   }
-  if (best_t >= 0) {
+  return best_t;
+}
+
+void run_parallel(Shared& sh, Result* out, int n_threads) {
+  n_threads = clamp_threads(sh.data.size(), n_threads);
+  std::vector<Worker> workers((size_t)n_threads);
+  int bad = run_workers(sh, workers);
+  if (bad >= 0) {
     out->status = 1;
-    out->error = workers[(size_t)best_t].res.error;
+    out->error = workers[(size_t)bad].res.error;
     return;
   }
   merge_results(out, workers, sh.n_base_vocab);
@@ -617,6 +681,227 @@ void run_parallel(Shared& sh, Result* out, int n_threads) {
   if (out->alignment_count == 0) {
     out->status = 1;
     out->error = "no alignments in \"" + sh.filename + "\"";
+  }
+}
+
+// ---------------------------------------------------------------------
+// Run-based pipeline (round 2): the event stream above costs 20 B/event
+// across ~3 copies — on this host the resulting page-fault traffic was
+// the end-to-end bottleneck (BENCH_NOTES.md).  A "run" is one good
+// alignment: its votes land on the CONSECUTIVE positions
+// ref_start..ref_start+n-1 (pileup.rs:192-199), so a 16-byte header per
+// alignment plus 1 vocab byte per event reproduces the entire stream.
+// ---------------------------------------------------------------------
+
+struct RunsResult {
+  std::vector<int32_t> run_contig, run_start, run_len, run_k;
+  std::vector<uint8_t> vbytes;      // per-event vocab id; 255 = overflow
+  std::vector<int64_t> ov_idx;      // global event index (ascending)
+  std::vector<int32_t> ov_vid;      // its (merged) vocab id
+  std::string new_vocab;            // '\n'-joined, ids n_base..
+  int64_t n_new_vocab = 0;
+  int32_t n_base_vocab = 0;
+  std::vector<int64_t> f_aln, f_used, f_reads;  // per input file
+  std::vector<int64_t> run_evt_off;  // cumulative event offset per run
+  int status = 0;
+  std::string error;
+};
+
+// Merge one file's workers into the global result.  Bytes < n_base are
+// base-vocab ids (identical across threads — bulk append); every
+// locally interned id was emitted as 255 + a local overflow entry, so
+// only those need remapping (global first-occurrence order = thread
+// order = serial file order).
+void merge_runs(RunsResult* out, std::vector<RunsWorker>& workers,
+                VocabMap& global_new) {
+  const int32_t n_base = out->n_base_vocab;
+  size_t add_runs = 0, add_bytes = 0, add_ov = 0;
+  for (auto& w : workers) {
+    add_runs += w.run_contig.size();
+    add_bytes += w.vbytes.size();
+    add_ov += w.overflow.size();
+  }
+  out->run_contig.reserve(out->run_contig.size() + add_runs);
+  out->run_start.reserve(out->run_start.size() + add_runs);
+  out->run_len.reserve(out->run_len.size() + add_runs);
+  out->run_k.reserve(out->run_k.size() + add_runs);
+  out->vbytes.reserve(out->vbytes.size() + add_bytes);
+  out->ov_idx.reserve(out->ov_idx.size() + add_ov);
+  out->ov_vid.reserve(out->ov_vid.size() + add_ov);
+
+  for (auto& w : workers) {
+    // vocab remap for this worker's locally interned strings
+    std::vector<int32_t> remap;
+    remap.reserve(w.new_strings.size());
+    for (const std::string& s : w.new_strings) {
+      auto it = global_new.find(s);
+      int32_t gid;
+      if (it != global_new.end()) {
+        gid = it->second;
+      } else {
+        gid = n_base + (int32_t)global_new.size();
+        global_new.emplace(s, gid);
+        out->new_vocab.append(s);
+        out->new_vocab.push_back('\n');
+        ++out->n_new_vocab;
+      }
+      remap.push_back(gid);
+    }
+    int64_t byte_base = (int64_t)out->vbytes.size();
+    out->run_contig.insert(out->run_contig.end(), w.run_contig.begin(),
+                           w.run_contig.end());
+    out->run_start.insert(out->run_start.end(), w.run_start.begin(),
+                          w.run_start.end());
+    out->run_len.insert(out->run_len.end(), w.run_len.begin(),
+                        w.run_len.end());
+    out->run_k.insert(out->run_k.end(), w.run_k.begin(), w.run_k.end());
+    out->vbytes.insert(out->vbytes.end(), w.vbytes.begin(), w.vbytes.end());
+    for (auto& [idx, vid] : w.overflow) {
+      out->ov_idx.push_back(byte_base + idx);
+      out->ov_vid.push_back(vid >= n_base
+                                ? remap[(size_t)(vid - n_base)]
+                                : vid);
+    }
+  }
+}
+
+int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
+                    int64_t n_files, Shared& sh, int32_t n_threads) {
+  VocabMap global_new;
+  size_t fstart = 0;
+  for (int64_t fi = 0; fi < n_files; ++fi) {
+    size_t nl = filenames_blob.find('\n', fstart);
+    if (nl == std::string::npos) nl = filenames_blob.size();
+    std::string filename = filenames_blob.substr(fstart, nl - fstart);
+    fstart = nl + 1;
+    sh.filename = filename;
+
+    std::string data;
+    {
+      FILE* f = fopen(filename.c_str(), "rb");
+      bool ok = f != nullptr;
+      if (ok) {
+        fseek(f, 0, SEEK_END);
+        long fsize = ftell(f);
+        fseek(f, 0, SEEK_SET);
+        data.resize((size_t)fsize);
+        if (fsize > 0 &&
+            fread(data.data(), 1, (size_t)fsize, f) != (size_t)fsize)
+          ok = false;
+        fclose(f);
+      }
+      if (!ok) {
+        out->status = 1;
+        out->error = "unable to load alignments from \"" + filename + "\"";
+        return 1;
+      }
+    }
+    sh.data = std::string_view(data);
+
+    int nt = clamp_threads(data.size(), n_threads);
+    std::vector<RunsWorker> workers((size_t)nt);
+    int bad = run_workers(sh, workers);
+    if (bad >= 0) {
+      out->status = 1;
+      out->error = workers[(size_t)bad].res.error;
+      return 1;
+    }
+    int64_t aln = 0, used = 0, reads = 0;
+    for (auto& w : workers) {
+      aln += w.res.alignment_count;
+      used += w.res.used_count;
+      reads += w.res.read_count;
+    }
+    if (aln == 0) {
+      out->status = 1;
+      out->error = "no alignments in \"" + filename + "\"";
+      return 1;
+    }
+    out->f_aln.push_back(aln);
+    out->f_used.push_back(used);
+    out->f_reads.push_back(reads);
+    merge_runs(out, workers, global_new);
+  }
+  // cumulative event offsets (fold/chunks walk these)
+  out->run_evt_off.resize(out->run_contig.size() + 1);
+  int64_t off = 0;
+  for (size_t r = 0; r < out->run_contig.size(); ++r) {
+    out->run_evt_off[r] = off;
+    off += out->run_len[r];
+  }
+  out->run_evt_off[out->run_contig.size()] = off;
+  return 0;
+}
+
+constexpr int kDenseVNative = 8;
+
+// Sequential-exact depth: one f64 add per event in exactly the
+// reference's order (file order; consecutive positions within a run).
+void fold_depth(const RunsResult& rr, int32_t contig, int64_t P,
+                double* depth_out) {
+  memset(depth_out, 0, (size_t)P * sizeof(double));
+  const size_t n_runs = rr.run_contig.size();
+  for (size_t r = 0; r < n_runs; ++r) {
+    if (rr.run_contig[r] != contig) continue;
+    const double w = 1.0 / (double)rr.run_k[r];
+    double* d = depth_out + rr.run_start[r];
+    const int32_t n = rr.run_len[r];
+    for (int32_t j = 0; j < n; ++j) d[j] += w;
+  }
+}
+
+struct FoldBuffers {
+  std::vector<int64_t> sp_pos;
+  std::vector<int32_t> sp_vid;
+  std::vector<int32_t> sp_cnt;
+};
+
+// Dense counts + sparse tier for one contig (order-free integers).
+void fold_counts(const RunsResult& rr, int32_t contig, int64_t P,
+                 int32_t* counts_out, FoldBuffers* fb) {
+  memset(counts_out, 0,
+         (size_t)kDenseVNative * (size_t)P * sizeof(int32_t));
+  std::unordered_map<int64_t, int32_t> sparse;
+  const size_t n_runs = rr.run_contig.size();
+  size_t ov_p = 0;
+  const size_t n_ov = rr.ov_idx.size();
+  for (size_t r = 0; r < n_runs; ++r) {
+    const int64_t base = rr.run_evt_off[r];
+    const int32_t n = rr.run_len[r];
+    if (rr.run_contig[r] != contig) {
+      while (ov_p < n_ov && rr.ov_idx[ov_p] < base + n) ++ov_p;
+      continue;
+    }
+    const int64_t start = rr.run_start[r];
+    const uint8_t* vb = rr.vbytes.data() + base;
+    for (int32_t j = 0; j < n; ++j) {
+      uint8_t b = vb[j];
+      if (b < kDenseVNative) {
+        ++counts_out[(size_t)b * (size_t)P + (size_t)(start + j)];
+      } else {
+        int32_t vid;
+        if (b == 255) {
+          while (ov_p < n_ov && rr.ov_idx[ov_p] < base + j) ++ov_p;
+          vid = rr.ov_vid[ov_p];
+          ++ov_p;
+        } else {
+          vid = b;  // base-vocab sparse id (8..254)
+        }
+        ++sparse[(start + j) * ((int64_t)1 << 31) + vid];
+      }
+    }
+  }
+  fb->sp_pos.reserve(sparse.size());
+  fb->sp_vid.reserve(sparse.size());
+  fb->sp_cnt.reserve(sparse.size());
+  std::vector<int64_t> keys;
+  keys.reserve(sparse.size());
+  for (auto& [k, v] : sparse) keys.push_back(k);
+  std::sort(keys.begin(), keys.end());
+  for (int64_t k : keys) {
+    fb->sp_pos.push_back(k >> 31);
+    fb->sp_vid.push_back((int32_t)(k & (((int64_t)1 << 31) - 1)));
+    fb->sp_cnt.push_back(sparse[k]);
   }
 }
 
@@ -1382,6 +1667,355 @@ PPDebugView* pp_debug_tsv(
 void pp_free_debug(PPDebugView* view) {
   if (!view) return;
   delete static_cast<DebugBuffers*>(view->handle);
+  delete view;
+}
+
+// ---------------------------------------------------------------------
+// Run-based polish pipeline ABI (see RunsResult above).
+// ---------------------------------------------------------------------
+
+struct PPRunsView {
+  const int32_t* run_contig;
+  const int32_t* run_start;
+  const int32_t* run_len;
+  const int32_t* run_k;
+  int64_t n_runs;
+  const uint8_t* vocab_bytes;
+  int64_t n_events;
+  const int64_t* ov_idx;
+  const int32_t* ov_vid;
+  int64_t n_overflow;
+  const char* new_vocab;
+  int64_t new_vocab_len;
+  int64_t n_new_vocab;
+  const int64_t* file_alignments;
+  const int64_t* file_used;
+  const int64_t* file_reads;
+  int64_t n_files;
+  int status;
+  const char* error;
+  void* handle;
+};
+
+// filenames: '\n'-joined; contig_names / vocab_strs likewise.
+PPRunsView* pp_parse_runs(const char* filenames, int64_t n_files,
+                          const char* contig_names,
+                          const int64_t* contig_lens, int64_t n_contigs,
+                          const char* vocab_strs, int64_t n_vocab,
+                          int64_t max_errors, int32_t careful,
+                          int32_t n_threads) {
+  init_tables();
+  auto* rr = new RunsResult();
+  auto* view = new PPRunsView();
+  memset(view, 0, sizeof(*view));
+  view->handle = rr;
+  rr->n_base_vocab = (int32_t)n_vocab;
+
+  Shared sh;
+  sh.contig_lens = contig_lens;
+  sh.max_errors = max_errors;
+  sh.careful = careful != 0;
+  sh.contig_buf.assign(contig_names);
+  {
+    size_t start = 0;
+    int32_t idx = 0;
+    while (idx < n_contigs && start <= sh.contig_buf.size()) {
+      size_t nl = sh.contig_buf.find('\n', start);
+      if (nl == std::string::npos) nl = sh.contig_buf.size();
+      sh.contig_ids.emplace(
+          std::string_view(sh.contig_buf.data() + start, nl - start), idx);
+      start = nl + 1;
+      ++idx;
+    }
+  }
+  sh.n_base_vocab = (int32_t)n_vocab;
+  for (int i = 0; i < 256; ++i) sh.base_char_ids[i] = -1;
+  {
+    std::string vb(vocab_strs);
+    size_t start = 0;
+    int32_t idx = 0;
+    while (idx < n_vocab && start <= vb.size()) {
+      size_t nl = vb.find('\n', start);
+      if (nl == std::string::npos) nl = vb.size();
+      std::string s = vb.substr(start, nl - start);
+      sh.base_vocab.emplace(s, idx);
+      if (s.size() == 1) sh.base_char_ids[(unsigned char)s[0]] = idx;
+      start = nl + 1;
+      ++idx;
+    }
+  }
+
+  parse_runs_impl(rr, filenames, n_files, sh, n_threads);
+
+  view->run_contig = rr->run_contig.data();
+  view->run_start = rr->run_start.data();
+  view->run_len = rr->run_len.data();
+  view->run_k = rr->run_k.data();
+  view->n_runs = (int64_t)rr->run_contig.size();
+  view->vocab_bytes = rr->vbytes.data();
+  view->n_events = (int64_t)rr->vbytes.size();
+  view->ov_idx = rr->ov_idx.data();
+  view->ov_vid = rr->ov_vid.data();
+  view->n_overflow = (int64_t)rr->ov_idx.size();
+  view->new_vocab = rr->new_vocab.c_str();
+  view->new_vocab_len = (int64_t)rr->new_vocab.size();
+  view->n_new_vocab = rr->n_new_vocab;
+  view->file_alignments = rr->f_aln.data();
+  view->file_used = rr->f_used.data();
+  view->file_reads = rr->f_reads.data();
+  view->n_files = (int64_t)rr->f_aln.size();
+  view->status = rr->status;
+  view->error = rr->error.c_str();
+  return view;
+}
+
+void pp_free_runs(PPRunsView* view) {
+  if (!view) return;
+  delete static_cast<RunsResult*>(view->handle);
+  delete view;
+}
+
+struct PPFoldView {
+  const int64_t* sp_pos;
+  const int32_t* sp_vid;
+  const int32_t* sp_cnt;
+  int64_t n_sparse;
+  void* handle;
+};
+
+// Fold one contig: depth (always) + dense counts & sparse tier (when
+// counts_out != NULL).  With want_counts and two cores available, depth
+// (order-sensitive f64) and counts (order-free integers) run on
+// separate threads — the outputs are independent.
+PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
+                           int32_t* counts_out, double* depth_out,
+                           int32_t parallel) {
+  auto* rr = static_cast<RunsResult*>(runs->handle);
+  auto* fb = new FoldBuffers();
+  auto* view = new PPFoldView();
+  memset(view, 0, sizeof(*view));
+  view->handle = fb;
+
+  if (counts_out && parallel) {
+    std::thread td([&]() { fold_depth(*rr, contig, P, depth_out); });
+    fold_counts(*rr, contig, P, counts_out, fb);
+    td.join();
+  } else {
+    fold_depth(*rr, contig, P, depth_out);
+    if (counts_out) fold_counts(*rr, contig, P, counts_out, fb);
+  }
+  view->sp_pos = fb->sp_pos.data();
+  view->sp_vid = fb->sp_vid.data();
+  view->sp_cnt = fb->sp_cnt.data();
+  view->n_sparse = (int64_t)fb->sp_pos.size();
+  return view;
+}
+
+void pp_free_fold(PPFoldView* view) {
+  if (!view) return;
+  delete static_cast<FoldBuffers*>(view->handle);
+  delete view;
+}
+
+// ---------------------------------------------------------------------
+// Pallas chunk prep directly from runs: counting-sort dense events into
+// per-position-tile chunks of e_sub*128 slots with COMPACT dtypes —
+// uint8 tile-local position (tile_p <= 256) and uint8 vocab id, with
+// padding expressed as vocab 255 (one-hots to a zero column, so pad
+// events contribute nothing regardless of position).  2 bytes/event on
+// the wire instead of the event stream's 8.
+// ---------------------------------------------------------------------
+
+struct Chunk2Buffers {
+  std::unique_ptr<uint8_t[]> chunk_pos;
+  std::unique_ptr<uint8_t[]> chunk_vocab;
+  std::vector<int32_t> chunk_tile;
+};
+
+struct PPChunks2View {
+  const uint8_t* chunk_pos;    // (n_chunks*e_sub, 128) row-major
+  const uint8_t* chunk_vocab;
+  const int32_t* chunk_tile;   // (n_chunks,)
+  int64_t n_chunks;            // geometric-padded count
+  int64_t n_tiles;
+  int64_t n_dense_events;
+  void* handle;
+};
+
+PPChunks2View* pp_chunks_from_runs(PPRunsView* runs, int32_t contig,
+                                   int64_t P, int32_t tile_p, int32_t e_sub,
+                                   int32_t n_threads) {
+  auto* rr = static_cast<RunsResult*>(runs->handle);
+  auto* buf = new Chunk2Buffers();
+  auto* view = new PPChunks2View();
+  memset(view, 0, sizeof(*view));
+  view->handle = buf;
+  if (tile_p > 256 || tile_p <= 0) return view;  // caller falls back
+
+  const int64_t e_b = (int64_t)e_sub * 128;
+  int64_t n_tiles = (P + tile_p - 1) / tile_p;
+  if (n_tiles < 1) n_tiles = 1;
+  const size_t n_runs = rr->run_contig.size();
+
+  int T = n_threads > 0 ? n_threads : 1;
+  int64_t n_events = (int64_t)rr->vbytes.size();
+  if ((int64_t)T > (n_events + (1 << 20) - 1) / (1 << 20))
+    T = (int)((n_events + (1 << 20) - 1) / (1 << 20));
+  if (T < 1) T = 1;
+  // contiguous run ranges of roughly equal EVENT mass per thread
+  std::vector<size_t> rrange((size_t)T + 1);
+  rrange[0] = 0;
+  for (int th = 1; th < T; ++th) {
+    int64_t target = n_events * th / T;
+    size_t lo = rrange[(size_t)th - 1];
+    while (lo < n_runs && rr->run_evt_off[lo] < target) ++lo;
+    rrange[(size_t)th] = lo;
+  }
+  rrange[(size_t)T] = n_runs;
+
+  // tile_p is 2^k in practice (TILE_P = 256): use shifts, not division
+  int tshift = -1;
+  if ((tile_p & (tile_p - 1)) == 0) {
+    tshift = 0;
+    while ((1 << tshift) < tile_p) ++tshift;
+  }
+  auto tile_of = [tile_p, tshift](int64_t p) -> int64_t {
+    return tshift >= 0 ? (p >> tshift) : (p / tile_p);
+  };
+
+  // pass 1: per-(thread, tile) dense-event counts
+  std::vector<std::vector<int64_t>> cnt((size_t)T);
+  auto count_range = [&](int th) {
+    auto& c = cnt[(size_t)th];
+    c.assign((size_t)n_tiles, 0);
+    for (size_t r = rrange[(size_t)th]; r < rrange[(size_t)th + 1]; ++r) {
+      if (rr->run_contig[r] != contig) continue;
+      const uint8_t* vb = rr->vbytes.data() + rr->run_evt_off[r];
+      const int64_t start = rr->run_start[r];
+      const int32_t n = rr->run_len[r];
+      for (int32_t j = 0; j < n; ++j)
+        if (vb[j] < kDenseVNative) ++c[(size_t)tile_of(start + j)];
+    }
+  };
+  if (T == 1) {
+    count_range(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int th = 0; th < T; ++th) ts.emplace_back(count_range, th);
+    for (auto& t : ts) t.join();
+  }
+
+  std::vector<int64_t> per_tile((size_t)n_tiles, 0);
+  for (int th = 0; th < T; ++th)
+    for (int64_t t = 0; t < n_tiles; ++t)
+      per_tile[(size_t)t] += cnt[(size_t)th][(size_t)t];
+  int64_t n_dense = 0;
+  std::vector<int64_t> chunks_per_tile((size_t)n_tiles);
+  int64_t n_chunks = 0;
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    n_dense += per_tile[(size_t)t];
+    int64_t c = (per_tile[(size_t)t] + e_b - 1) / e_b;
+    if (c < 1) c = 1;
+    chunks_per_tile[(size_t)t] = c;
+    n_chunks += c;
+  }
+  // geometric chunk-count padding (mirrors vote_pallas._pad_chunk_count)
+  int64_t padded_chunks;
+  {
+    int64_t nmin = n_chunks < 8 ? 8 : n_chunks;
+    int bits = 0;
+    while ((nmin >> bits) > 1) ++bits;
+    int shift = bits - 3 > 0 ? bits - 3 : 0;
+    int64_t step = (int64_t)1 << shift;
+    padded_chunks = (n_chunks + step - 1) / step * step;
+    if (padded_chunks < n_chunks) padded_chunks = n_chunks;
+  }
+
+  buf->chunk_pos.reset(new uint8_t[(size_t)(padded_chunks * e_b)]);
+  buf->chunk_vocab.reset(new uint8_t[(size_t)(padded_chunks * e_b)]);
+  buf->chunk_tile.resize((size_t)padded_chunks);
+  std::vector<int64_t> tile_base((size_t)n_tiles);
+  {
+    int64_t chunk_off = 0;
+    int64_t ci = 0;
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      tile_base[(size_t)t] = chunk_off * e_b;
+      for (int64_t c = 0; c < chunks_per_tile[(size_t)t]; ++c)
+        buf->chunk_tile[(size_t)ci++] = (int32_t)t;
+      chunk_off += chunks_per_tile[(size_t)t];
+    }
+    for (int64_t c = n_chunks; c < padded_chunks; ++c)
+      buf->chunk_tile[(size_t)c] = (int32_t)(n_tiles - 1);
+  }
+  std::vector<std::vector<int64_t>> wstart((size_t)T);
+  {
+    std::vector<int64_t> running = tile_base;
+    for (int th = 0; th < T; ++th) {
+      wstart[(size_t)th] = running;
+      for (int64_t t = 0; t < n_tiles; ++t)
+        running[(size_t)t] += cnt[(size_t)th][(size_t)t];
+    }
+  }
+
+  // pass 2: stable scatter + pad fill (pos 0 / vocab 255)
+  auto scatter_range = [&](int th) {
+    auto& wa = wstart[(size_t)th];
+    for (size_t r = rrange[(size_t)th]; r < rrange[(size_t)th + 1]; ++r) {
+      if (rr->run_contig[r] != contig) continue;
+      const uint8_t* vb = rr->vbytes.data() + rr->run_evt_off[r];
+      const int64_t start = rr->run_start[r];
+      const int32_t n = rr->run_len[r];
+      for (int32_t j = 0; j < n; ++j) {
+        uint8_t b = vb[j];
+        if (b >= kDenseVNative) continue;
+        int64_t p = start + j;
+        int64_t t = tile_of(p);
+        int64_t slot = wa[(size_t)t]++;
+        buf->chunk_pos[(size_t)slot] = (uint8_t)(p - t * tile_p);
+        buf->chunk_vocab[(size_t)slot] = b;
+      }
+    }
+  };
+  auto pad_range = [&](int th) {
+    int64_t lo = n_tiles * th / T, hi = n_tiles * (th + 1) / T;
+    for (int64_t t = lo; t < hi; ++t) {
+      int64_t from = tile_base[(size_t)t] + per_tile[(size_t)t];
+      int64_t to = tile_base[(size_t)t] + chunks_per_tile[(size_t)t] * e_b;
+      if (to > from) {
+        memset(buf->chunk_pos.get() + from, 0, (size_t)(to - from));
+        memset(buf->chunk_vocab.get() + from, 0xff, (size_t)(to - from));
+      }
+    }
+    if (th == T - 1 && padded_chunks > n_chunks) {
+      int64_t from = n_chunks * e_b, to = padded_chunks * e_b;
+      memset(buf->chunk_pos.get() + from, 0, (size_t)(to - from));
+      memset(buf->chunk_vocab.get() + from, 0xff, (size_t)(to - from));
+    }
+  };
+  if (T == 1) {
+    scatter_range(0);
+    pad_range(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int th = 0; th < T; ++th) ts.emplace_back(scatter_range, th);
+    for (auto& t : ts) t.join();
+    ts.clear();
+    for (int th = 0; th < T; ++th) ts.emplace_back(pad_range, th);
+    for (auto& t : ts) t.join();
+  }
+
+  view->chunk_pos = buf->chunk_pos.get();
+  view->chunk_vocab = buf->chunk_vocab.get();
+  view->chunk_tile = buf->chunk_tile.data();
+  view->n_chunks = padded_chunks;
+  view->n_tiles = n_tiles;
+  view->n_dense_events = n_dense;
+  return view;
+}
+
+void pp_free_chunks2(PPChunks2View* view) {
+  if (!view) return;
+  delete static_cast<Chunk2Buffers*>(view->handle);
   delete view;
 }
 

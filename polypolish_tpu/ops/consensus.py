@@ -161,6 +161,77 @@ def consensus_dense_numpy(counts, valid_thr, invalid_thr, low_depth, orig_id):
     return new_id, status
 
 
+def consensus_sparse_override(
+    counts,
+    sp_pos: np.ndarray,
+    sp_vid: np.ndarray,
+    sp_cnt: np.ndarray,
+    valid_thr: np.ndarray,
+    invalid_thr: np.ndarray,
+    depth: np.ndarray,
+    min_depth: int,
+    orig_id: np.ndarray,
+    new_id: np.ndarray,
+    status: np.ndarray,
+) -> np.ndarray:
+    """Vectorised re-decision for every position that has sparse-tier
+    votes, overriding ``new_id``/``status`` in place (the dense-only
+    pass could not see those candidates).  Exactly the candidate-list
+    rule of consensus_one_position / pileup.rs:67-134.
+
+    sp_pos must be sorted ascending with entries grouped by position
+    (the order fold/sparse produce).  Returns the unique positions
+    (callers reuse them for debug output)."""
+    upos, seg_start = np.unique(sp_pos, return_index=True)
+    seg_id = np.searchsorted(upos, sp_pos)
+    vt = valid_thr[upos].astype(np.int64)
+    it = invalid_thr[upos].astype(np.int64)
+    cols = np.asarray(counts[:, upos])  # (8, n_u) gather
+    participate = _ACGT_ROWS | (cols > 0)
+    isv_d = participate & (cols >= vt[None, :])
+    isi_d = participate & ~isv_d & (cols >= it[None, :])
+    n_valid = isv_d.sum(axis=0).astype(np.int64)
+    n_inter = isi_d.sum(axis=0).astype(np.int64)
+    dense_has_valid = n_valid > 0
+    first_valid_dense = np.argmax(isv_d, axis=0).astype(np.int64)
+
+    cnt = sp_cnt.astype(np.int64)
+    e_v = cnt >= vt[seg_id]
+    e_i = (~e_v) & (cnt >= it[seg_id])
+    n_valid += np.bincount(seg_id, weights=e_v, minlength=upos.size
+                           ).astype(np.int64)
+    n_inter += np.bincount(seg_id, weights=e_i, minlength=upos.size
+                           ).astype(np.int64)
+    # the (single) valid sparse vid per segment; only consumed when the
+    # total valid count is exactly 1, so any reduction that surfaces it
+    # works — max over (valid ? vid : -1)
+    sv = np.where(e_v, sp_vid.astype(np.int64), -1)
+    seg_valid_vid = np.maximum.reduceat(sv, seg_start)
+    valid_vid = np.where(dense_has_valid, first_valid_dense, seg_valid_vid)
+
+    ld = depth[upos] < float(min_depth)
+    ou = orig_id[upos].astype(np.int64)
+    one = n_valid == 1
+    adopt = (~ld) & one & (n_inter == 0)
+    nid_u = np.where(adopt, valid_vid, ou).astype(np.int32)
+    st_u = np.where(
+        ld,
+        ST_LOW_DEPTH,
+        np.where(
+            one,
+            np.where(
+                n_inter > 0,
+                ST_TOO_CLOSE,
+                np.where(nid_u != ou, ST_CHANGED, ST_KEPT),
+            ),
+            np.where(n_valid == 0, ST_NONE, ST_MULTIPLE),
+        ),
+    ).astype(np.int32)
+    new_id[upos] = nid_u
+    status[upos] = st_u
+    return upos
+
+
 def consensus_one_position(
     candidates: List[Tuple[int, int]],
     orig_id: int,

@@ -29,7 +29,7 @@ from polypolish_tpu.ops.consensus import (
     compute_thresholds,
     consensus_dense_jax,
     consensus_dense_numpy,
-    consensus_one_position,
+    consensus_sparse_override,
 )
 from polypolish_tpu.ops.vote import count_votes
 from polypolish_tpu.stats import qscore
@@ -73,15 +73,25 @@ def polish(
     with phase("load_assembly"):
         seq_names, votes = load_assembly(assembly)
     vocab = Vocab()
+    runs_handle = None
     with phase("load_alignments"):
-        load_alignments(
+        runs_handle = _load_alignments_runs(
             max_errors, careful, sam, votes, vocab, use_native, n_threads
         )
-    with phase("polish_sequences"), maybe_trace():
-        new_lengths = polish_sequences(
-            debug, fraction_invalid, fraction_valid, min_depth,
-            seq_names, votes, vocab, out, backend, use_native,
-        )
+        if runs_handle is None:
+            load_alignments(
+                max_errors, careful, sam, votes, vocab, use_native, n_threads
+            )
+    try:
+        with phase("polish_sequences"), maybe_trace():
+            new_lengths = polish_sequences(
+                debug, fraction_invalid, fraction_valid, min_depth,
+                seq_names, votes, vocab, out, backend, use_native,
+                runs_handle,
+            )
+    finally:
+        if runs_handle is not None:
+            runs_handle.close()
     finished_message(debug, new_lengths, start_time)
     return new_lengths
 
@@ -162,27 +172,11 @@ def load_assembly(assembly_filename: str):
     return seq_names, votes
 
 
-def load_alignments(
-    max_errors: int,
-    careful: bool,
-    sam: List[str],
-    votes: Dict[str, pack.ContigVotes],
-    vocab: Vocab,
-    use_native: bool = True,
-    n_threads: Optional[int] = None,
-) -> None:
-    """Reference: polish.rs:109-134."""
-    log.section_header("Loading alignments")
+def _report_alignment_stats(sam, stats_list, careful: bool) -> None:
+    """The per-file + kept/discarded stderr narrative (polish.rs:109-134).
+    stats_list entries are (alignment_count, used_count, read_count)."""
     alignment_total = 0
     used_total = 0
-    stats_list = _load_files_parallel(
-        sam, votes, vocab, max_errors, careful, use_native, n_threads
-    )
-    if stats_list is None:
-        process = _select_sam_processor(use_native, n_threads)
-        stats_list = []
-        for s in sam:
-            stats_list.append(process(s, votes, vocab, max_errors, careful))
     for s, (alignment_count, used_count, read_count) in zip(sam, stats_list):
         log.eprint(
             f"{s}: {log.thousands(alignment_count)} alignments from "
@@ -202,6 +196,68 @@ def load_alignments(
     log.eprint(f"  {log.thousands(used_total)} alignments kept")
     log.eprint(f"  {log.thousands(discarded_count)} alignments discarded")
     log.eprint()
+
+
+def _load_alignments_runs(
+    max_errors: int,
+    careful: bool,
+    sam: List[str],
+    votes: Dict[str, pack.ContigVotes],
+    vocab: Vocab,
+    use_native: bool,
+    n_threads: Optional[int],
+):
+    """Round-2 fast path: one native pp_parse_runs call covering ALL SAM
+    files (byte-range parallel per file, files in reference order).
+    Returns a ParsedRuns or None to fall back to the event-stream path
+    (native unavailable, or gzipped input)."""
+    if not use_native:
+        return None
+    try:
+        from polypolish_tpu.native import loader
+        from polypolish_tpu.native import runs as native_runs
+
+        if not loader.available():
+            return None
+        for s in sam:  # gzipped files take the Python fallback path
+            with open(s, "rb") as f:
+                head = f.read(2)
+            if len(head) == 2 and head[0] == 31 and head[1] == 139:
+                return None
+    except OSError:
+        return None
+    log.section_header("Loading alignments")
+    contig_names = list(votes.keys())
+    contig_lens = {n: votes[n].length for n in contig_names}
+    pr = native_runs.parse_runs(
+        [str(s) for s in sam], contig_names, contig_lens, vocab,
+        max_errors, careful, n_threads,
+    )
+    stats_list = [(a, u, r) for (a, u, r) in pr.file_stats]
+    _report_alignment_stats(sam, stats_list, careful)
+    return pr
+
+
+def load_alignments(
+    max_errors: int,
+    careful: bool,
+    sam: List[str],
+    votes: Dict[str, pack.ContigVotes],
+    vocab: Vocab,
+    use_native: bool = True,
+    n_threads: Optional[int] = None,
+) -> None:
+    """Reference: polish.rs:109-134."""
+    log.section_header("Loading alignments")
+    stats_list = _load_files_parallel(
+        sam, votes, vocab, max_errors, careful, use_native, n_threads
+    )
+    if stats_list is None:
+        process = _select_sam_processor(use_native, n_threads)
+        stats_list = []
+        for s in sam:
+            stats_list.append(process(s, votes, vocab, max_errors, careful))
+    _report_alignment_stats(sam, stats_list, careful)
 
 
 def _load_files_parallel(
@@ -295,6 +351,7 @@ def polish_sequences(
     debug, fraction_invalid, fraction_valid, min_depth,
     seq_names, votes, vocab, out: TextIO, backend: str,
     use_native: bool = True,
+    runs_handle=None,
 ) -> List[Tuple[str, int]]:
     """Reference: polish.rs:137-154."""
     log.section_header("Polishing assembly sequences")
@@ -312,7 +369,7 @@ def polish_sequences(
             new_length = polish_one_sequence(
                 fraction_invalid, fraction_valid, min_depth,
                 name, description, contig, vocab, out, backend, debug_file,
-                use_native,
+                use_native, runs_handle,
             )
             new_lengths.append((name, new_length))
     finally:
@@ -349,15 +406,30 @@ def polish_one_sequence(
     fraction_invalid, fraction_valid, min_depth,
     name, description, contig, vocab, out: TextIO, backend: str, debug_file,
     use_native: bool = True,
+    runs_handle=None,
 ) -> int:
     """Reference: polish.rs:157-193 (vectorised)."""
     seq_len = contig.length
     log.eprint(f"Polishing {name} ({log.thousands(seq_len)} bp):")
 
-    pos, vid, weight = contig.finalize()
     orig_id = _orig_ids_for_seq(contig.seq, vocab)
 
-    if backend == "host":
+    if runs_handle is not None and backend == "host":
+        counts, depth, sparse = runs_handle.fold(name)
+        valid_thr, invalid_thr, low_depth = compute_thresholds(
+            depth, min_depth, fraction_valid, fraction_invalid
+        )
+        new_id, status = consensus_dense_numpy(
+            counts, valid_thr, invalid_thr, low_depth, orig_id
+        )
+    elif runs_handle is not None:
+        (counts, new_id, status, depth, sparse,
+         valid_thr, invalid_thr) = _polish_device_runs(
+            runs_handle, name, seq_len, orig_id,
+            min_depth, fraction_valid, fraction_invalid, backend,
+        )
+    elif backend == "host":
+        pos, vid, weight = contig.finalize()
         counts, depth, sparse = count_votes(pos, vid, weight, seq_len, backend)
         valid_thr, invalid_thr, low_depth = compute_thresholds(
             depth, min_depth, fraction_valid, fraction_invalid
@@ -366,6 +438,7 @@ def polish_one_sequence(
             counts, valid_thr, invalid_thr, low_depth, orig_id
         )
     else:
+        pos, vid, weight = contig.finalize()
         (counts, new_id, status, depth, sparse,
          valid_thr, invalid_thr) = _polish_device(
             pos, vid, weight, seq_len, orig_id,
@@ -373,31 +446,23 @@ def polish_one_sequence(
         )
 
     # Override positions that have sparse-tier votes with the full
-    # candidate-list consensus (host; rare).  Dense counts at those few
-    # positions are gathered in one indexed fetch so device backends
-    # never transfer the whole (8, P) tensor unless --debug needs it.
+    # candidate-list consensus (vectorised, host).  Dense counts at
+    # those few positions are gathered in one indexed fetch so device
+    # backends never transfer the whole (8, P) tensor unless --debug
+    # needs it.
     sp_pos, sp_vid, sp_cnt = sparse
+    if sp_pos.size:
+        consensus_sparse_override(
+            counts, sp_pos, sp_vid, sp_cnt, valid_thr, invalid_thr,
+            depth, min_depth, orig_id, new_id, status,
+        )
+
+    # the per-position dict is only needed for the --debug pileup column
     sparse_by_pos: Dict[int, List[Tuple[int, int]]] = {}
-    for p, v, c in zip(sp_pos.tolist(), sp_vid.tolist(), sp_cnt.tolist()):
-        sparse_by_pos.setdefault(p, []).append((v, c))
-    if sparse_by_pos:
-        sp_unique = np.asarray(sorted(sparse_by_pos), dtype=np.int64)
-        sp_cols = np.asarray(counts[:, sp_unique])  # (8, n_sparse)
-        col_of = {int(p): i for i, p in enumerate(sp_unique)}
-        for p, extra in sparse_by_pos.items():
-            col = sp_cols[:, col_of[p]]
-            cands = [
-                (v, int(col[v]))
-                for v in range(DENSE_V)
-                if v in (1, 2, 3, 4) or col[v] > 0
-            ]
-            cands.extend(extra)
-            nid, st, _, _ = consensus_one_position(
-                cands, int(orig_id[p]), float(depth[p]),
-                min_depth, fraction_valid, fraction_invalid,
-            )
-            new_id[p] = nid
-            status[p] = st
+    if debug_file is not None and sp_pos.size:
+        for p, v, c in zip(sp_pos.tolist(), sp_vid.tolist(),
+                           sp_cnt.tolist()):
+            sparse_by_pos.setdefault(p, []).append((v, c))
 
     if debug_file is not None:
         _write_debug_lines(
@@ -431,6 +496,76 @@ def _pad_bucket(n: int, granularity_bits: int = 3, minimum: int = 4096) -> int:
 
 
 _MODEL_CACHE: Dict = {}
+
+
+def _polish_device_runs(
+    runs_handle, name, seq_len, orig_id,
+    min_depth, fraction_valid, fraction_invalid, backend,
+):
+    """Device path fed by the native run pipeline: depth folded in C++
+    (sequential-exact f64), sparse tier from the overflow list, and the
+    vote+consensus graph fed with compact uint8 chunks (pad = vocab 255,
+    2 bytes/event on the wire)."""
+    import jax.numpy as jnp
+
+    from polypolish_tpu.models.polisher import PolisherModel
+    from polypolish_tpu.ops.vote_pallas import E_SUB, TILE_P
+
+    _, depth, _ = runs_handle.fold(name, want_counts=False)
+    sparse = runs_handle.sparse(name)
+    valid_thr, invalid_thr, low_depth = compute_thresholds(
+        depth, min_depth, fraction_valid, fraction_invalid
+    )
+
+    if backend == "sharded":
+        from polypolish_tpu.parallel import make_mesh, sharded_vote_consensus
+
+        mesh = _MODEL_CACHE.get("mesh")
+        if mesh is None:
+            mesh = make_mesh()
+            _MODEL_CACHE["mesh"] = mesh
+        pos, vid, _w = runs_handle.events(name)
+        counts, new_id, status = sharded_vote_consensus(
+            mesh, pos, vid, seq_len,
+            valid_thr, invalid_thr, low_depth, orig_id,
+        )
+        return counts, new_id, status, depth, sparse, valid_thr, invalid_thr
+
+    p_pad = _pad_bucket(seq_len)
+    i32max = np.int32(2**31 - 1)
+
+    def pad(arr, fill, dtype):
+        out = np.full(p_pad, fill, dtype=dtype)
+        out[:seq_len] = arr
+        return jnp.asarray(out)
+
+    key = (p_pad, backend)
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        model = PolisherModel(p_pad, use_pallas=(backend == "pallas"))
+        _MODEL_CACHE[key] = model
+
+    thr_args = (
+        pad(valid_thr, i32max, np.int32),
+        pad(invalid_thr, i32max, np.int32),
+        pad(low_depth, True, bool),
+        pad(orig_id, 0, np.int32),
+    )
+    ch = runs_handle.chunks(name, TILE_P, E_SUB, num_positions=p_pad)
+    if ch is None:  # tile_p > 256: fall back to the numpy packer
+        pos, vid, _w = runs_handle.events(name)
+        chunk_pos, chunk_vocab, chunk_tile = model.pack(pos, vid)
+    else:
+        chunk_pos, chunk_vocab, chunk_tile = (
+            jnp.asarray(ch[0]), jnp.asarray(ch[1]), jnp.asarray(ch[2])
+        )
+    counts_j, new_id_j, status_j = model.forward_jit(
+        chunk_pos, chunk_vocab, chunk_tile, *thr_args
+    )
+    counts = counts_j[:, :seq_len]
+    new_id = np.array(new_id_j)[:seq_len]
+    status = np.array(status_j)[:seq_len]
+    return counts, new_id, status, depth, sparse, valid_thr, invalid_thr
 
 
 def _polish_device(
