@@ -197,8 +197,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 2
     args = build_parser().parse_args(argv)
     from polypolish_tpu.utils.compile_cache import enable_persistent_cache
+    from polypolish_tpu.utils.malloc_tuning import tune_malloc
 
     enable_persistent_cache()
+    tune_malloc()
     try:
         if args.command == "filter":
             from polypolish_tpu.pipeline.filtering import filter_pairs

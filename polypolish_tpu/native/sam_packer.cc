@@ -17,9 +17,12 @@
 //
 // Exposed via a C ABI for ctypes (no pybind11 in this environment).
 
+#include <fcntl.h>
+#include <sys/mman.h>
 #include <unistd.h>
 
 #include <algorithm>
+#include <array>
 #include <cctype>
 #include <cerrno>
 #include <cstdint>
@@ -379,13 +382,19 @@ bool parse_line(WorkerBase& w, const char* line, size_t len, int64_t line_no,
   int nf = 0;
   const char* start = line;
   const char* end = line + len;
-  for (const char* q = line; q <= end && nf < 256; ++q) {
-    if (q == end || *q == '\t') {
+  while (nf < 256) {  // memchr beats a byte loop on 150+-char SEQ/QUAL
+    const char* q =
+        (const char*)memchr(start, '\t', (size_t)(end - start));
+    if (!q) {
       fields[nf] = start;
-      flens[nf] = (size_t)(q - start);
+      flens[nf] = (size_t)(end - start);
       ++nf;
-      start = q + 1;
+      break;
     }
+    fields[nf] = start;
+    flens[nf] = (size_t)(q - start);
+    ++nf;
+    start = q + 1;
   }
   if (nf < 11) {
     return w.fail("too few columns in \"" + w.sh->filename + "\" (line " +
@@ -765,6 +774,41 @@ void merge_runs(RunsResult* out, std::vector<RunsWorker>& workers,
   }
 }
 
+// mmap a whole file read-only (page-cache backed: no copy, no zeroing
+// — the fresh-page fault cost of an fread buffer dominated the parse
+// on this host).  Returns false on failure.
+struct MappedFile {
+  const char* data = nullptr;
+  size_t size = 0;
+  bool ok = false;
+
+  explicit MappedFile(const std::string& filename) {
+    int fd = open(filename.c_str(), O_RDONLY);
+    if (fd < 0) return;
+    off_t sz = lseek(fd, 0, SEEK_END);
+    if (sz < 0) {
+      close(fd);
+      return;
+    }
+    size = (size_t)sz;
+    if (size == 0) {
+      data = "";
+      ok = true;
+      close(fd);
+      return;
+    }
+    void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    if (p == MAP_FAILED) return;
+    madvise(p, size, MADV_WILLNEED);
+    data = (const char*)p;
+    ok = true;
+  }
+  ~MappedFile() {
+    if (ok && size > 0 && data && size) munmap((void*)data, size);
+  }
+};
+
 int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
                     int64_t n_files, Shared& sh, int32_t n_threads) {
   VocabMap global_new;
@@ -776,29 +820,15 @@ int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
     fstart = nl + 1;
     sh.filename = filename;
 
-    std::string data;
-    {
-      FILE* f = fopen(filename.c_str(), "rb");
-      bool ok = f != nullptr;
-      if (ok) {
-        fseek(f, 0, SEEK_END);
-        long fsize = ftell(f);
-        fseek(f, 0, SEEK_SET);
-        data.resize((size_t)fsize);
-        if (fsize > 0 &&
-            fread(data.data(), 1, (size_t)fsize, f) != (size_t)fsize)
-          ok = false;
-        fclose(f);
-      }
-      if (!ok) {
-        out->status = 1;
-        out->error = "unable to load alignments from \"" + filename + "\"";
-        return 1;
-      }
+    MappedFile mf(filename);
+    if (!mf.ok) {
+      out->status = 1;
+      out->error = "unable to load alignments from \"" + filename + "\"";
+      return 1;
     }
-    sh.data = std::string_view(data);
+    sh.data = std::string_view(mf.data, mf.size);
 
-    int nt = clamp_threads(data.size(), n_threads);
+    int nt = clamp_threads(mf.size, n_threads);
     std::vector<RunsWorker> workers((size_t)nt);
     int bad = run_workers(sh, workers);
     if (bad >= 0) {
@@ -1883,18 +1913,58 @@ PPChunks2View* pp_chunks_from_runs(PPRunsView* runs, int32_t contig,
     return tshift >= 0 ? (p >> tshift) : (p / tile_p);
   };
 
+  // With a fresh base vocab (<= 8 strings) every byte is either a dense
+  // id (< 8) or the overflow marker 255, and every 255 has an entry in
+  // the (ascending) overflow list — so sparse events can be located by
+  // walking that list instead of scanning bytes, and clean tile
+  // segments reduce to bulk memcpys.
+  const bool ov_complete = rr->n_base_vocab <= kDenseVNative;
+  const int64_t* ov_i = rr->ov_idx.data();
+  const int64_t n_ov = (int64_t)rr->ov_idx.size();
+  auto ov_lower_bound = [&](int64_t evt) -> int64_t {
+    return std::lower_bound(ov_i, ov_i + n_ov, evt) - ov_i;
+  };
+
   // pass 1: per-(thread, tile) dense-event counts
   std::vector<std::vector<int64_t>> cnt((size_t)T);
   auto count_range = [&](int th) {
     auto& c = cnt[(size_t)th];
     c.assign((size_t)n_tiles, 0);
+    int64_t ov_p = ov_complete && rrange[(size_t)th] < n_runs
+                       ? ov_lower_bound(rr->run_evt_off[rrange[(size_t)th]])
+                       : 0;
     for (size_t r = rrange[(size_t)th]; r < rrange[(size_t)th + 1]; ++r) {
-      if (rr->run_contig[r] != contig) continue;
-      const uint8_t* vb = rr->vbytes.data() + rr->run_evt_off[r];
+      const int64_t base = rr->run_evt_off[r];
       const int64_t start = rr->run_start[r];
       const int32_t n = rr->run_len[r];
-      for (int32_t j = 0; j < n; ++j)
-        if (vb[j] < kDenseVNative) ++c[(size_t)tile_of(start + j)];
+      if (rr->run_contig[r] != contig) {
+        if (ov_complete)
+          while (ov_p < n_ov && ov_i[ov_p] < base + n) ++ov_p;
+        continue;
+      }
+      if (ov_complete) {
+        // whole-run dense count = n - overflow entries inside the run,
+        // apportioned to tile segments (no byte scan)
+        int64_t p = start;
+        const int64_t end = start + n;
+        while (p < end) {
+          int64_t t = tile_of(p);
+          int64_t seg_end = std::min(end, (t + 1) * (int64_t)tile_p);
+          int64_t m = seg_end - p;
+          int64_t sparse_in_seg = 0;
+          int64_t seg_evt_end = base + (seg_end - start);
+          while (ov_p < n_ov && ov_i[ov_p] < seg_evt_end) {
+            ++ov_p;
+            ++sparse_in_seg;
+          }
+          c[(size_t)t] += m - sparse_in_seg;
+          p = seg_end;
+        }
+      } else {
+        const uint8_t* vb = rr->vbytes.data() + base;
+        for (int32_t j = 0; j < n; ++j)
+          if (vb[j] < kDenseVNative) ++c[(size_t)tile_of(start + j)];
+      }
     }
   };
   if (T == 1) {
@@ -1920,6 +1990,7 @@ PPChunks2View* pp_chunks_from_runs(PPRunsView* runs, int32_t contig,
     n_chunks += c;
   }
   // geometric chunk-count padding (mirrors vote_pallas._pad_chunk_count)
+  constexpr int64_t kMaxChunksPerCall = 32768;  // = MAX_CHUNKS_PER_CALL
   int64_t padded_chunks;
   {
     int64_t nmin = n_chunks < 8 ? 8 : n_chunks;
@@ -1929,6 +2000,9 @@ PPChunks2View* pp_chunks_from_runs(PPRunsView* runs, int32_t contig,
     int64_t step = (int64_t)1 << shift;
     padded_chunks = (n_chunks + step - 1) / step * step;
     if (padded_chunks < n_chunks) padded_chunks = n_chunks;
+    if (padded_chunks > kMaxChunksPerCall)
+      padded_chunks = (padded_chunks + kMaxChunksPerCall - 1) /
+                      kMaxChunksPerCall * kMaxChunksPerCall;
   }
 
   buf->chunk_pos.reset(new uint8_t[(size_t)(padded_chunks * e_b)]);
@@ -1957,22 +2031,72 @@ PPChunks2View* pp_chunks_from_runs(PPRunsView* runs, int32_t contig,
     }
   }
 
-  // pass 2: stable scatter + pad fill (pos 0 / vocab 255)
+  // pass 2: stable scatter + pad fill (pos 0 / vocab 255).  Tile
+  // segments with no sparse events reduce to two bulk copies: the vocab
+  // bytes verbatim and the local-position ramp (a slice of a static
+  // 0..255 table, since local positions are consecutive u8).
+  static const auto kRamp = [] {
+    std::array<uint8_t, 256> a{};
+    for (int i = 0; i < 256; ++i) a[(size_t)i] = (uint8_t)i;
+    return a;
+  }();
   auto scatter_range = [&](int th) {
     auto& wa = wstart[(size_t)th];
+    int64_t ov_p = ov_complete && rrange[(size_t)th] < n_runs
+                       ? ov_lower_bound(rr->run_evt_off[rrange[(size_t)th]])
+                       : 0;
     for (size_t r = rrange[(size_t)th]; r < rrange[(size_t)th + 1]; ++r) {
-      if (rr->run_contig[r] != contig) continue;
-      const uint8_t* vb = rr->vbytes.data() + rr->run_evt_off[r];
+      const int64_t base = rr->run_evt_off[r];
       const int64_t start = rr->run_start[r];
       const int32_t n = rr->run_len[r];
-      for (int32_t j = 0; j < n; ++j) {
-        uint8_t b = vb[j];
-        if (b >= kDenseVNative) continue;
-        int64_t p = start + j;
-        int64_t t = tile_of(p);
-        int64_t slot = wa[(size_t)t]++;
-        buf->chunk_pos[(size_t)slot] = (uint8_t)(p - t * tile_p);
-        buf->chunk_vocab[(size_t)slot] = b;
+      const uint8_t* vb = rr->vbytes.data() + base;
+      if (rr->run_contig[r] != contig) {
+        if (ov_complete)
+          while (ov_p < n_ov && ov_i[ov_p] < base + n) ++ov_p;
+        continue;
+      }
+      if (ov_complete) {
+        int64_t p = start;
+        const int64_t end = start + n;
+        while (p < end) {
+          int64_t t = tile_of(p);
+          int64_t seg_end = std::min(end, (t + 1) * (int64_t)tile_p);
+          int64_t m = seg_end - p;
+          int64_t seg_evt = base + (p - start);
+          int64_t seg_evt_end = seg_evt + m;
+          if (ov_p >= n_ov || ov_i[ov_p] >= seg_evt_end) {
+            // clean segment: bulk copies
+            int64_t slot = wa[(size_t)t];
+            wa[(size_t)t] += m;
+            memcpy(buf->chunk_vocab.get() + slot, vb + (p - start),
+                   (size_t)m);
+            memcpy(buf->chunk_pos.get() + slot,
+                   kRamp.data() + (p - t * tile_p), (size_t)m);
+          } else {
+            for (int64_t j = p - start; j < seg_end - start; ++j) {
+              uint8_t b = vb[j];
+              if (b >= kDenseVNative) {
+                ++ov_p;
+                continue;
+              }
+              int64_t slot = wa[(size_t)t]++;
+              buf->chunk_pos[(size_t)slot] =
+                  (uint8_t)(start + j - t * tile_p);
+              buf->chunk_vocab[(size_t)slot] = b;
+            }
+          }
+          p = seg_end;
+        }
+      } else {
+        for (int32_t j = 0; j < n; ++j) {
+          uint8_t b = vb[j];
+          if (b >= kDenseVNative) continue;
+          int64_t p = start + j;
+          int64_t t = tile_of(p);
+          int64_t slot = wa[(size_t)t]++;
+          buf->chunk_pos[(size_t)slot] = (uint8_t)(p - t * tile_p);
+          buf->chunk_vocab[(size_t)slot] = b;
+        }
       }
     }
   };

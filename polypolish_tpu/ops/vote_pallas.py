@@ -47,6 +47,11 @@ TILE_P = 256  # positions per output tile (lane-dim multiple of 128)
 E_SUB = 8  # event-tile sublanes per chunk
 E_LANE = 128  # event-tile lanes (= MXU contraction depth)
 E_B = E_SUB * E_LANE  # events per chunk
+# Max chunks per pallas_call: the per-chunk tile map rides in SMEM
+# (1 MB total on v5e), so huge chunk streams are split into equal slabs
+# of this many chunks; each slab zero-initialises the tiles it visits
+# and the slab outputs are summed (exact int32).  32768 * 4 B = 128 KB.
+MAX_CHUNKS_PER_CALL = 32768
 
 
 def _make_vote_kernel(tile_p: int, e_sub: int, mxu_dtype=jnp.float32,
@@ -302,6 +307,9 @@ def _pad_chunk_count(chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub,
     padded = -(-n // step) * step
     if multiple > 1:
         padded = -(-padded // multiple) * multiple
+    if padded > MAX_CHUNKS_PER_CALL:
+        # big streams are sliced into equal MAX_CHUNKS_PER_CALL slabs
+        padded = -(-padded // MAX_CHUNKS_PER_CALL) * MAX_CHUNKS_PER_CALL
     if padded == n_chunks:
         return chunk_pos, chunk_vocab, chunk_tile, n_tiles
     extra = padded - n_chunks
@@ -326,7 +334,38 @@ def _vote_pallas_call(
     of k so a step never straddles a tile boundary).  fused=True (the
     default — measured ~1.4x the unfused path in same-process A/B on
     v5e, 650 vs 470 M votes/s) uses the single-dot K=e_sub*128 kernel
-    (see _make_vote_kernel_fused)."""
+    (see _make_vote_kernel_fused).
+
+    Streams longer than MAX_CHUNKS_PER_CALL chunks (whose SMEM tile map
+    would blow the 1 MB scalar-memory budget) are processed as equal
+    slabs — the callers' pad helpers round big streams to a slab
+    multiple.  A tile whose chunks straddle a slab boundary is simply
+    zero-initialised again by the next slab and the partial outputs are
+    summed: exact int32, bitwise-equal to a single call."""
+    n_total = chunk_pos.shape[0] // e_sub
+    if n_total > MAX_CHUNKS_PER_CALL:
+        assert n_total % MAX_CHUNKS_PER_CALL == 0, (
+            n_total, MAX_CHUNKS_PER_CALL
+        )
+        m = MAX_CHUNKS_PER_CALL
+        total = None
+        for s in range(n_total // m):
+            ct_slab = chunk_tile[s * m:(s + 1) * m]
+            out = _vote_pallas_call(
+                chunk_pos[s * m * e_sub:(s + 1) * m * e_sub],
+                chunk_vocab[s * m * e_sub:(s + 1) * m * e_sub],
+                ct_slab,
+                n_tiles, interpret, tile_p=tile_p, e_sub=e_sub,
+                use_int8=use_int8, chunks_per_step=chunks_per_step,
+                fused=fused,
+            )
+            # a slab only initialises the output blocks of tiles it
+            # visits; the rest hold garbage — mask them to zero before
+            # summing (int32 garbage * 0 == 0, exact)
+            visited = jnp.zeros((n_tiles,), jnp.int32).at[ct_slab].set(1)
+            out = out * jnp.repeat(visited, tile_p)[None, :]
+            total = out if total is None else total + out
+        return total
     k = chunks_per_step
     n_chunks = chunk_pos.shape[0] // e_sub
     n_steps = n_chunks // k
