@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Native SAM packer threads (default: all cores, max 16; "
         "output is bit-identical for any value)",
     )
+    p.add_argument(
+        "--pod-shards", type=int, default=0,
+        help="Shard the SAM ingest over N byte-range shards (config-4 "
+        "pod mode; output is bit-identical to unsharded)",
+    )
     p.add_argument("assembly", help="Assembly to polish (one file in FASTA format)")
     p.add_argument(
         "sam", nargs="+", help="Short read alignments (one or more files in SAM format)"
@@ -210,16 +215,26 @@ def main(argv: Optional[List[str]] = None) -> int:
                 args.orientation, args.low, args.high,
             )
         elif args.command == "polish":
-            from polypolish_tpu.pipeline.polish import polish
+            if args.pod_shards and args.pod_shards > 1:
+                from polypolish_tpu.pipeline.pod import polish_pod
 
-            polish(
-                args.debug, args.fraction_invalid, args.fraction_valid,
-                args.max_errors, args.min_depth, args.careful,
-                args.assembly, args.sam,
-                backend=_resolve_backend(args.backend),
-                use_native=not args.pure_python,
-                n_threads=args.threads,
-            )
+                polish_pod(
+                    args.debug, args.fraction_invalid, args.fraction_valid,
+                    args.max_errors, args.min_depth, args.careful,
+                    args.assembly, args.sam, args.pod_shards,
+                    n_threads=args.threads,
+                )
+            else:
+                from polypolish_tpu.pipeline.polish import polish
+
+                polish(
+                    args.debug, args.fraction_invalid, args.fraction_valid,
+                    args.max_errors, args.min_depth, args.careful,
+                    args.assembly, args.sam,
+                    backend=_resolve_backend(args.backend),
+                    use_native=not args.pure_python,
+                    n_threads=args.threads,
+                )
         elif args.command == "batch":
             from polypolish_tpu.pipeline.batch import parse_manifest, polish_batch
 

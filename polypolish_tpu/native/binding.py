@@ -90,6 +90,8 @@ class _PPRunsView(ctypes.Structure):
         ("file_alignments", ctypes.POINTER(ctypes.c_int64)),
         ("file_used", ctypes.POINTER(ctypes.c_int64)),
         ("file_reads", ctypes.POINTER(ctypes.c_int64)),
+        ("file_runs", ctypes.POINTER(ctypes.c_int64)),
+        ("file_events", ctypes.POINTER(ctypes.c_int64)),
         ("n_files", ctypes.c_int64),
         ("status", ctypes.c_int),
         ("error", ctypes.c_char_p),
@@ -240,6 +242,8 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,                     # max_errors
             ctypes.c_int32,                     # careful
             ctypes.c_int32,                     # n_threads
+            ctypes.c_int32,                     # proc_idx (pod mode)
+            ctypes.c_int32,                     # n_procs
         ]
         lib.pp_free_runs.argtypes = [ctypes.POINTER(_PPRunsView)]
         lib.pp_free_runs.restype = None
@@ -265,6 +269,17 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.pp_free_chunks2.argtypes = [ctypes.POINTER(_PPChunks2View)]
         lib.pp_free_chunks2.restype = None
+        lib.pp_depth_fold.restype = None
+        lib.pp_depth_fold.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),     # run_contig
+            ctypes.POINTER(ctypes.c_int32),     # run_start
+            ctypes.POINTER(ctypes.c_int32),     # run_len
+            ctypes.POINTER(ctypes.c_int32),     # run_k
+            ctypes.c_int64,                     # n_runs
+            ctypes.c_int32,                     # contig id
+            ctypes.c_int64,                     # P
+            ctypes.POINTER(ctypes.c_double),    # depth_out
+        ]
         _lib = lib
         return _lib
 

@@ -50,6 +50,12 @@ class ParsedRuns:
              int(v.file_reads[i]))
             for i in range(int(v.n_files))
         ]
+        self.file_runs: List[int] = [
+            int(v.file_runs[i]) for i in range(int(v.n_files))
+        ]
+        self.file_events: List[int] = [
+            int(v.file_events[i]) for i in range(int(v.n_files))
+        ]
 
     # -- lifecycle ----------------------------------------------------
     def close(self) -> None:
@@ -203,10 +209,17 @@ def parse_runs(
     max_errors: int,
     careful: bool,
     n_threads: Optional[int] = None,
+    proc_idx: int = 0,
+    n_procs: int = 1,
 ) -> ParsedRuns:
     """Parse SAM files into a ParsedRuns; interns new vocab strings into
     ``vocab`` (ids line up with the native side); fatals mirror the
-    reference (alignment.rs:214-272)."""
+    reference (alignment.rs:214-272).
+
+    Pod mode (n_procs > 1): this process parses only its byte range of
+    every file (read-group snapped; identical boundary arithmetic on
+    every process makes the ranges globally disjoint and complete), and
+    the per-range "no alignments" fatal is deferred to the merger."""
     from polypolish_tpu.native import binding
 
     lib = binding.load_library()
@@ -226,7 +239,7 @@ def parse_runs(
         files_blob, len(filenames), names_blob,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(contig_names), vocab_blob, base_vocab_len,
-        max_errors, 1 if careful else 0, n_threads,
+        max_errors, 1 if careful else 0, n_threads, proc_idx, n_procs,
     )
     v = view.contents
     if v.status != 0:

@@ -599,31 +599,35 @@ int clamp_threads(size_t n, int n_threads) {
 }
 
 // Range-split parse over `workers` (sized by the caller to the thread
-// count); returns the index of the worker holding the earliest fatal
-// error, or -1 on success.
+// count) covering byte range [lo, hi) of sh.data — [0, size) for a
+// whole-file parse; in pod mode each process passes its own slice
+// (identical boundary arithmetic on every process makes the
+// group-snapped ranges globally disjoint and complete, the same
+// complementarity proof as the thread split).  Returns the index of
+// the worker holding the earliest fatal error, or -1 on success.
 template <class W>
-int run_workers(Shared& sh, std::vector<W>& workers) {
+int run_workers(Shared& sh, std::vector<W>& workers, size_t lo,
+                size_t hi) {
   std::string_view data = sh.data;
-  size_t n = data.size();
+  size_t n = hi - lo;
   int n_threads = (int)workers.size();
   size_t per = n / (size_t)n_threads;
 
   // line-aligned range starts + their global line numbers
   std::vector<size_t> begins((size_t)n_threads + 1);
   std::vector<int64_t> line_before((size_t)n_threads);
-  begins[0] = 0;
-  line_before[0] = 0;
+  begins[0] = lo;
   for (int t = 1; t < n_threads; ++t) {
-    size_t b = per * (size_t)t;
+    size_t b = lo + per * (size_t)t;
     size_t nl = data.find('\n', b);
-    begins[(size_t)t] = (nl == std::string_view::npos) ? n : nl + 1;
+    begins[(size_t)t] = (nl == std::string_view::npos) ? hi : nl + 1;
   }
-  begins[(size_t)n_threads] = n;
+  begins[(size_t)n_threads] = hi;
   // count newlines up to each begin (single memchr-driven pass)
   {
     size_t prev = 0;
     int64_t lines = 0;
-    for (int t = 1; t < n_threads; ++t) {
+    for (int t = 0; t < n_threads; ++t) {
       const char* p = data.data() + prev;
       const char* stop = data.data() + begins[(size_t)t];
       while (p < stop) {
@@ -651,8 +655,8 @@ int run_workers(Shared& sh, std::vector<W>& workers) {
     size_t begin = begins[(size_t)t];
     size_t hard_end = begins[(size_t)t + 1];
     std::string_view prev_name =
-        (t == 0) ? std::string_view{}
-                 : last_aligned_name_before(data, begin);
+        (begin == 0) ? std::string_view{}
+                     : last_aligned_name_before(data, begin);
     int64_t start_line = line_before[(size_t)t];
     if (n_threads == 1) {
       run_range(w, begin, hard_end, prev_name, start_line);
@@ -679,7 +683,7 @@ int run_workers(Shared& sh, std::vector<W>& workers) {
 void run_parallel(Shared& sh, Result* out, int n_threads) {
   n_threads = clamp_threads(sh.data.size(), n_threads);
   std::vector<Worker> workers((size_t)n_threads);
-  int bad = run_workers(sh, workers);
+  int bad = run_workers(sh, workers, 0, sh.data.size());
   if (bad >= 0) {
     out->status = 1;
     out->error = workers[(size_t)bad].res.error;
@@ -711,6 +715,7 @@ struct RunsResult {
   int64_t n_new_vocab = 0;
   int32_t n_base_vocab = 0;
   std::vector<int64_t> f_aln, f_used, f_reads;  // per input file
+  std::vector<int64_t> f_runs, f_events;        // per-file segment sizes
   std::vector<int64_t> run_evt_off;  // cumulative event offset per run
   int status = 0;
   std::string error;
@@ -810,7 +815,8 @@ struct MappedFile {
 };
 
 int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
-                    int64_t n_files, Shared& sh, int32_t n_threads) {
+                    int64_t n_files, Shared& sh, int32_t n_threads,
+                    int32_t proc_idx, int32_t n_procs) {
   VocabMap global_new;
   size_t fstart = 0;
   for (int64_t fi = 0; fi < n_files; ++fi) {
@@ -828,9 +834,30 @@ int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
     }
     sh.data = std::string_view(mf.data, mf.size);
 
-    int nt = clamp_threads(mf.size, n_threads);
+    // pod mode: this process covers byte range [lo, hi) of every file
+    // (line-snapped starts; identical arithmetic on every process makes
+    // the group-snapped ranges globally disjoint and complete)
+    size_t lo = 0, hi = mf.size;
+    if (n_procs > 1) {
+      size_t per = mf.size / (size_t)n_procs;
+      size_t b = per * (size_t)proc_idx;
+      if (proc_idx > 0) {
+        size_t nl2 = sh.data.find('\n', b);
+        lo = (nl2 == std::string_view::npos) ? mf.size : nl2 + 1;
+      }
+      if (proc_idx + 1 < n_procs) {
+        size_t e = per * (size_t)(proc_idx + 1);
+        size_t nl2 = sh.data.find('\n', e);
+        hi = (nl2 == std::string_view::npos) ? mf.size : nl2 + 1;
+      }
+      if (lo > hi) lo = hi;
+    }
+
+    int nt = clamp_threads(hi - lo, n_threads);
     std::vector<RunsWorker> workers((size_t)nt);
-    int bad = run_workers(sh, workers);
+    size_t runs_before = out->run_contig.size();
+    size_t events_before = out->vbytes.size();
+    int bad = run_workers(sh, workers, lo, hi);
     if (bad >= 0) {
       out->status = 1;
       out->error = workers[(size_t)bad].res.error;
@@ -842,7 +869,9 @@ int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
       used += w.res.used_count;
       reads += w.res.read_count;
     }
-    if (aln == 0) {
+    if (aln == 0 && n_procs <= 1) {
+      // the whole-file fatal (alignment.rs:268-270); a pod-mode RANGE
+      // may legitimately be empty — the merged check runs in Python
       out->status = 1;
       out->error = "no alignments in \"" + filename + "\"";
       return 1;
@@ -851,6 +880,8 @@ int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
     out->f_used.push_back(used);
     out->f_reads.push_back(reads);
     merge_runs(out, workers, global_new);
+    out->f_runs.push_back((int64_t)(out->run_contig.size() - runs_before));
+    out->f_events.push_back((int64_t)(out->vbytes.size() - events_before));
   }
   // cumulative event offsets (fold/chunks walk these)
   out->run_evt_off.resize(out->run_contig.size() + 1);
@@ -1721,6 +1752,8 @@ struct PPRunsView {
   const int64_t* file_alignments;
   const int64_t* file_used;
   const int64_t* file_reads;
+  const int64_t* file_runs;    // runs per file segment (this process)
+  const int64_t* file_events;  // events per file segment
   int64_t n_files;
   int status;
   const char* error;
@@ -1733,7 +1766,8 @@ PPRunsView* pp_parse_runs(const char* filenames, int64_t n_files,
                           const int64_t* contig_lens, int64_t n_contigs,
                           const char* vocab_strs, int64_t n_vocab,
                           int64_t max_errors, int32_t careful,
-                          int32_t n_threads) {
+                          int32_t n_threads, int32_t proc_idx,
+                          int32_t n_procs) {
   init_tables();
   auto* rr = new RunsResult();
   auto* view = new PPRunsView();
@@ -1775,7 +1809,8 @@ PPRunsView* pp_parse_runs(const char* filenames, int64_t n_files,
     }
   }
 
-  parse_runs_impl(rr, filenames, n_files, sh, n_threads);
+  parse_runs_impl(rr, filenames, n_files, sh, n_threads, proc_idx,
+                  n_procs);
 
   view->run_contig = rr->run_contig.data();
   view->run_start = rr->run_start.data();
@@ -1793,6 +1828,8 @@ PPRunsView* pp_parse_runs(const char* filenames, int64_t n_files,
   view->file_alignments = rr->f_aln.data();
   view->file_used = rr->f_used.data();
   view->file_reads = rr->f_reads.data();
+  view->file_runs = rr->f_runs.data();
+  view->file_events = rr->f_events.data();
   view->n_files = (int64_t)rr->f_aln.size();
   view->status = rr->status;
   view->error = rr->error.c_str();
@@ -1845,6 +1882,24 @@ void pp_free_fold(PPFoldView* view) {
   if (!view) return;
   delete static_cast<FoldBuffers*>(view->handle);
   delete view;
+}
+
+// Sequential-exact depth fold straight from run-header arrays (pod
+// mode: the tiny headers are allgathered in reference order and every
+// host replays them, keeping the f64 add order bit-identical to a
+// single-host run).
+void pp_depth_fold(const int32_t* run_contig, const int32_t* run_start,
+                   const int32_t* run_len, const int32_t* run_k,
+                   int64_t n_runs, int32_t contig, int64_t P,
+                   double* depth_out) {
+  memset(depth_out, 0, (size_t)P * sizeof(double));
+  for (int64_t r = 0; r < n_runs; ++r) {
+    if (run_contig[r] != contig) continue;
+    const double w = 1.0 / (double)run_k[r];
+    double* d = depth_out + run_start[r];
+    const int32_t n = run_len[r];
+    for (int32_t j = 0; j < n; ++j) d[j] += w;
+  }
 }
 
 // ---------------------------------------------------------------------

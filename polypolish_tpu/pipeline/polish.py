@@ -445,6 +445,21 @@ def polish_one_sequence(
             min_depth, fraction_valid, fraction_invalid, backend,
         )
 
+    return finish_sequence(
+        name, description, contig.seq, counts, depth, sparse,
+        valid_thr, invalid_thr, new_id, status, orig_id, min_depth,
+        vocab, out, debug_file, use_native,
+    )
+
+
+def finish_sequence(
+    name, description, seq, counts, depth, sparse,
+    valid_thr, invalid_thr, new_id, status, orig_id, min_depth,
+    vocab, out: TextIO, debug_file, use_native: bool = True,
+) -> int:
+    """The backend-independent tail of polish_one_sequence: sparse-tier
+    consensus override, --debug TSV, polished FASTA write, per-contig
+    stats (reference: polish.rs:170-227)."""
     # Override positions that have sparse-tier votes with the full
     # candidate-list consensus (vectorised, host).  Dense counts at
     # those few positions are gathered in one indexed fetch so device
@@ -466,12 +481,12 @@ def polish_one_sequence(
 
     if debug_file is not None:
         _write_debug_lines(
-            debug_file, name, contig.seq, depth, invalid_thr, valid_thr,
+            debug_file, name, seq, depth, invalid_thr, valid_thr,
             np.asarray(counts), sparse_by_pos, status, new_id, vocab,
             use_native,
         )
 
-    polished_seq = _apply_edits(contig.seq, status, new_id, vocab)
+    polished_seq = _apply_edits(seq, status, new_id, vocab)
     write_fasta_record(out, name, description, polished_seq)
 
     # Sequential left-fold, not np.sum (pairwise): the reference adds
@@ -481,7 +496,9 @@ def polish_one_sequence(
     total_depth = float(np.cumsum(depth)[-1]) if len(depth) else 0.0
     zero_depth_count = int(np.count_nonzero(depth == 0.0))
     changed_count = int(np.count_nonzero(status == ST_CHANGED))
-    print_polishing_info(seq_len, total_depth, zero_depth_count, changed_count)
+    print_polishing_info(
+        len(seq), total_depth, zero_depth_count, changed_count
+    )
     return len(polished_seq)
 
 
