@@ -5,10 +5,13 @@ pileup.rs:189-200) with a TPU-native design:
 
   1. Host: dense-tier events (position, vocab_id) are bucketed by
      position tile (tile_p positions per tile) and padded to fixed-size
-     chunks of e_sub*128 events (pad events use position -1, which
-     one-hots to all-zero).  Every tile gets at least one chunk so every
-     output block is visited and initialised.  Each chunk is laid out as
-     an (e_sub, 128) int32 tile — 128 lanes = the MXU contraction depth.
+     chunks of e_sub*128 events.  Pad events zero out one side of the
+     one-hot product: position -1 (int16/int32 chunk layout, numpy
+     packer) or vocab 255 (uint8 compact layout, pp_chunks_from_runs)
+     — either makes the event contribute nothing.  Every tile gets at
+     least one chunk so every output block is visited and initialised.
+     Each chunk is laid out as an (e_sub, 128) tile — 128 lanes = the
+     MXU contraction depth.
   2. Device: grid over chunks.  Each chunk row (128 events) builds two
      one-hot matrices — vocab one-hot A:(8, 128) and local-position
      one-hot B:(128, tile_p) — and accumulates A @ B into the
@@ -178,16 +181,18 @@ def _make_vote_kernel_split(tile_p: int, e_sub: int, mxu_dtype=jnp.float32,
             voc = vocab_ref[sub, :]  # (128,) int32
             pos = pos_ref[sub, :]  # (128,) int32, -1 = padding
             lo = jnp.bitwise_and(pos, E_LANE - 1)
-            a_parts.append((vrow == voc[None, :]).astype(mxu_dtype))
+            a_parts.append(vrow == voc[None, :])  # bool (8, 128)
             b_parts.append((lrow == lo[None, :]).astype(mxu_dtype))
             hi_parts.append(jnp.right_shift(pos, lo_shift)[None, :])
-        a = jnp.concatenate(a_parts, axis=1)  # (8, K)
+        a_bool = jnp.concatenate(a_parts, axis=1)  # bool (8, K)
         bt = jnp.concatenate(b_parts, axis=1)  # (128, K)
         hi = jnp.concatenate(hi_parts, axis=1)  # (1, K)
         acc_t = jnp.int32 if mxu_dtype == jnp.int8 else jnp.float32
         slabs = []
         for h in range(n_hi):  # static unroll: one 128-lane slab per dot
-            a_h = a * (hi == h).astype(mxu_dtype)  # (8, K)
+            # fuse the slab mask into the boolean before the cast: an
+            # int8 vector multiply fails Mosaic legalization on v5e
+            a_h = jnp.logical_and(a_bool, hi == h).astype(mxu_dtype)
             d = jax.lax.dot_general(
                 a_h, bt, (((1,), (1,)), ((), ())),
                 preferred_element_type=acc_t,
@@ -327,7 +332,7 @@ def _pad_chunk_count(chunk_pos, chunk_vocab, chunk_tile, n_tiles, e_sub,
 def _vote_pallas_call(
     chunk_pos, chunk_vocab, chunk_tile, n_tiles, interpret,
     tile_p: int = TILE_P, e_sub: int = E_SUB, use_int8: bool = True,
-    chunks_per_step: int = 1, fused: Union[bool, str] = True,
+    chunks_per_step: int = 1, fused: Union[bool, str] = "split",
 ):
     """chunks_per_step > 1 processes k consecutive chunks per grid step
     (the caller must have padded each tile's chunk count to a multiple
@@ -423,13 +428,14 @@ def dense_counts_pallas(
     tile_p: int = TILE_P,
     e_sub: int = E_SUB,
     use_int8: bool = True,
-    fused: Union[bool, str] = True,
+    fused: Union[bool, str] = "split",
 ) -> jnp.ndarray:
     """(8, P) int32 dense vote counts via the MXU one-hot-matmul kernel.
 
-    ``fused`` selects the kernel variant: True/'fused' (single NT dot,
-    the default), False/'unfused' (per-row dots), or 'split' (low/high
-    position-bit decomposition; see _make_vote_kernel_split)."""
+    ``fused`` selects the kernel variant: 'split' (low/high position-
+    bit decomposition — the default; measured best on v5e, ~560 vs
+    ~530/~390 M votes/s in same-process A/B, see BENCH_NOTES.md),
+    True/'fused' (single NT dot), or False/'unfused' (per-row dots)."""
     if interpret is None:
         interpret = _default_interpret()
     chunk_pos, chunk_vocab, chunk_tile, n_tiles = prepare_chunks(
