@@ -255,6 +255,12 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,                    # counts_out (8*P) or NULL
             ctypes.POINTER(ctypes.c_double),    # depth_out (P)
             ctypes.c_int32,                     # parallel
+            ctypes.c_int32,                     # min_depth
+            ctypes.c_double,                    # fraction_valid
+            ctypes.c_double,                    # fraction_invalid
+            ctypes.c_void_p,                    # valid_out (P) or NULL
+            ctypes.c_void_p,                    # invalid_out (P) or NULL
+            ctypes.c_void_p,                    # low_out (P) or NULL
         ]
         lib.pp_free_fold.argtypes = [ctypes.POINTER(_PPFoldView)]
         lib.pp_free_fold.restype = None

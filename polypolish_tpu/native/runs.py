@@ -77,20 +77,38 @@ class ParsedRuns:
 
     # -- per-contig consumers ------------------------------------------
     def fold(self, contig_name: str, want_counts: bool = True,
-             parallel: bool = True):
+             parallel: bool = True, thresholds=None):
         """Returns (counts (8,P) int32 or None, depth (P,) f64, sparse)
         where sparse = (pos i64, vid i32, cnt i32) sorted ascending —
-        drop-in for ops.vote.count_votes on the host backend."""
+        drop-in for ops.vote.count_votes on the host backend.
+
+        With thresholds=(min_depth, fraction_valid, fraction_invalid),
+        returns a 4th element (valid_thr i32, invalid_thr i32,
+        low_depth bool) computed in the same C++ pass as depth
+        (bit-identical to ops.consensus.compute_thresholds)."""
         cid = self.contig_names.index(contig_name)
         P = self.contig_lens[contig_name]
         depth = np.empty(P, dtype=np.float64)
         counts = np.empty((DENSE_V, P), dtype=np.int32) if want_counts \
             else None
+        if thresholds is not None:
+            min_depth, f_valid, f_invalid = thresholds
+            valid = np.empty(P, dtype=np.int32)
+            invalid = np.empty(P, dtype=np.int32)
+            low = np.empty(P, dtype=np.uint8)
+            thr_args = (
+                int(min_depth), float(f_valid), float(f_invalid),
+                valid.ctypes.data_as(ctypes.c_void_p),
+                invalid.ctypes.data_as(ctypes.c_void_p),
+                low.ctypes.data_as(ctypes.c_void_p),
+            )
+        else:
+            thr_args = (0, 0.0, 0.0, None, None, None)
         fv = self._lib.pp_fold_contig(
             self._view, cid, P,
             counts.ctypes.data_as(ctypes.c_void_p) if want_counts else None,
             depth.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            1 if parallel else 0,
+            1 if parallel else 0, *thr_args,
         )
         try:
             f = fv.contents
@@ -102,6 +120,9 @@ class ParsedRuns:
             )
         finally:
             self._lib.pp_free_fold(fv)
+        if thresholds is not None:
+            return counts, depth, sparse, (valid, invalid,
+                                           low.view(np.bool_))
         return counts, depth, sparse
 
     def sparse(self, contig_name: str):

@@ -24,6 +24,7 @@
 #include <algorithm>
 #include <array>
 #include <cctype>
+#include <cmath>
 #include <cerrno>
 #include <cstdint>
 #include <cstdio>
@@ -908,6 +909,38 @@ void fold_depth(const RunsResult& rr, int32_t contig, int64_t P,
     double* d = depth_out + rr.run_start[r];
     const int32_t n = rr.run_len[r];
     for (int32_t j = 0; j < n; ++j) d[j] += w;
+  }
+}
+
+// misc.rs:204-215 banker's rounding, int64 form (bit-identical to
+// utils/rounding.py::bankers_rounding_vec for the in-range values this
+// tool produces).
+inline int64_t bankers_i64(double f) {
+  double rd = std::trunc(f);
+  double fract = f - rd;
+  int64_t out = (int64_t)rd;
+  if (fract > 0.5) return out + 1;
+  if (fract < 0.5) return out;
+  return out + (out & 1);
+}
+
+// ops/consensus.py::compute_thresholds in one pass over depth.
+void thresholds_from_depth(const double* depth, int64_t P,
+                           int32_t min_depth, double fraction_valid,
+                           double fraction_invalid, int32_t* valid_out,
+                           int32_t* invalid_out, uint8_t* low_out) {
+  const int64_t i32max = 2147483647;
+  const double md = (double)min_depth;
+  for (int64_t p = 0; p < P; ++p) {
+    double d = depth[p];
+    int64_t v = bankers_i64(d * fraction_valid);
+    if (v < (int64_t)min_depth) v = (int64_t)min_depth;
+    if (v > i32max) v = i32max;
+    int64_t iv = bankers_i64(d * fraction_invalid);
+    if (iv > i32max) iv = i32max;
+    valid_out[p] = (int32_t)v;
+    invalid_out[p] = (int32_t)iv;
+    low_out[p] = d < md ? 1 : 0;
   }
 }
 
@@ -1874,19 +1907,29 @@ struct PPFoldView {
 // separate threads — the outputs are independent.
 PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
                            int32_t* counts_out, double* depth_out,
-                           int32_t parallel) {
+                           int32_t parallel, int32_t min_depth,
+                           double fraction_valid, double fraction_invalid,
+                           int32_t* valid_out, int32_t* invalid_out,
+                           uint8_t* low_out) {
   auto* rr = static_cast<RunsResult*>(runs->handle);
   auto* fb = new FoldBuffers();
   auto* view = new PPFoldView();
   memset(view, 0, sizeof(*view));
   view->handle = fb;
 
+  auto depth_and_thresholds = [&]() {
+    fold_depth(*rr, contig, P, depth_out);
+    if (valid_out)
+      thresholds_from_depth(depth_out, P, min_depth, fraction_valid,
+                            fraction_invalid, valid_out, invalid_out,
+                            low_out);
+  };
   if (counts_out && parallel) {
-    std::thread td([&]() { fold_depth(*rr, contig, P, depth_out); });
+    std::thread td(depth_and_thresholds);
     fold_counts(*rr, contig, P, counts_out, fb);
     td.join();
   } else {
-    fold_depth(*rr, contig, P, depth_out);
+    depth_and_thresholds();
     if (counts_out) fold_counts(*rr, contig, P, counts_out, fb);
   }
   view->sp_pos = fb->sp_pos.data();

@@ -415,10 +415,10 @@ def polish_one_sequence(
     orig_id = _orig_ids_for_seq(contig.seq, vocab)
 
     if runs_handle is not None and backend == "host":
-        counts, depth, sparse = runs_handle.fold(name)
-        valid_thr, invalid_thr, low_depth = compute_thresholds(
-            depth, min_depth, fraction_valid, fraction_invalid
+        counts, depth, sparse, thr = runs_handle.fold(
+            name, thresholds=(min_depth, fraction_valid, fraction_invalid)
         )
+        valid_thr, invalid_thr, low_depth = thr
         new_id, status = consensus_dense_numpy(
             counts, valid_thr, invalid_thr, low_depth, orig_id
         )
@@ -528,11 +528,12 @@ def _polish_device_runs(
     from polypolish_tpu.models.polisher import PolisherModel
     from polypolish_tpu.ops.vote_pallas import E_SUB, TILE_P
 
-    _, depth, _ = runs_handle.fold(name, want_counts=False)
-    sparse = runs_handle.sparse(name)
-    valid_thr, invalid_thr, low_depth = compute_thresholds(
-        depth, min_depth, fraction_valid, fraction_invalid
+    _, depth, _, thr = runs_handle.fold(
+        name, want_counts=False,
+        thresholds=(min_depth, fraction_valid, fraction_invalid),
     )
+    valid_thr, invalid_thr, low_depth = thr
+    sparse = runs_handle.sparse(name)
 
     if backend == "sharded":
         from polypolish_tpu.parallel import make_mesh, sharded_vote_consensus

@@ -387,3 +387,33 @@ def test_native_debug_tsv_parity_fuzz(tmp_path, monkeypatch, seed):
             sparse_by_pos, status, new_id, vocab,
         )
     assert out_native.read_bytes() == out_python.read_bytes()
+
+
+def test_fold_thresholds_match_numpy(tmp_path):
+    """The C++ single-pass thresholds (computed in the fold's depth
+    thread) must be bit-identical to ops.consensus.compute_thresholds,
+    including banker's .5 ties from fractional 1/k weights."""
+    from polypolish_tpu.native import runs as native_runs
+    from polypolish_tpu.ops.consensus import compute_thresholds
+
+    fasta, sam_text = synth.make_polish_case(
+        seed=17, genome_len=800, n_reads=600, read_len=40, err=0.05,
+        multi_frac=0.5,
+    )
+    asm = tmp_path / "a.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "a.sam"
+    sam.write_text(sam_text)
+    fa = load_fasta(asm)
+    names = [n for n, _, _ in fa]
+    lens = {n: len(s) for n, _, s in fa}
+    pr = native_runs.parse_runs([str(sam)], names, lens, Vocab(), 10, False)
+    for md, f_v, f_i in ((5, 0.5, 0.2), (2, 0.6, 0.3), (1, 0.9, 0.1)):
+        counts, depth, sparse, (v, i, low) = pr.fold(
+            names[0], thresholds=(md, f_v, f_i)
+        )
+        v_ref, i_ref, low_ref = compute_thresholds(depth, md, f_v, f_i)
+        assert np.array_equal(v, v_ref)
+        assert np.array_equal(i, i_ref)
+        assert np.array_equal(low, low_ref)
+    pr.close()
