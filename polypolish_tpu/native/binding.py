@@ -275,6 +275,18 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.pp_free_chunks2.argtypes = [ctypes.POINTER(_PPChunks2View)]
         lib.pp_free_chunks2.restype = None
+        lib.pp_consensus_dense.restype = None
+        lib.pp_consensus_dense.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),     # counts (8, P) row-major
+            ctypes.POINTER(ctypes.c_int32),     # valid_thr
+            ctypes.POINTER(ctypes.c_int32),     # invalid_thr
+            ctypes.POINTER(ctypes.c_uint8),     # low_depth
+            ctypes.POINTER(ctypes.c_int32),     # orig_id
+            ctypes.c_int64,                     # P
+            ctypes.POINTER(ctypes.c_int32),     # new_id out
+            ctypes.POINTER(ctypes.c_int32),     # status out
+            ctypes.c_int32,                     # n_threads
+        ]
         lib.pp_depth_fold.restype = None
         lib.pp_depth_fold.argtypes = [
             ctypes.POINTER(ctypes.c_int32),     # run_contig
@@ -436,6 +448,37 @@ def debug_tsv_native(
         return int(v.bytes_written)
     finally:
         lib.pp_free_debug(view)
+
+
+def consensus_dense_native(counts, valid_thr, invalid_thr, low_depth,
+                           orig_id, n_threads: int = 2):
+    """C++ twin of ops.consensus.consensus_dense_numpy: one blocked,
+    threaded pass over the row-major (8, P) counts.  Returns
+    (new_id int32, status int32)."""
+    lib = load_library()
+    assert lib is not None
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    P = counts.shape[1]
+    valid_thr = np.ascontiguousarray(valid_thr, dtype=np.int32)
+    invalid_thr = np.ascontiguousarray(invalid_thr, dtype=np.int32)
+    low = np.ascontiguousarray(
+        np.asarray(low_depth, dtype=np.bool_).view(np.uint8)
+    )
+    orig_id = np.ascontiguousarray(orig_id, dtype=np.int32)
+    new_id = np.empty(P, dtype=np.int32)
+    status = np.empty(P, dtype=np.int32)
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    lib.pp_consensus_dense(
+        ptr(counts, ctypes.c_int32), ptr(valid_thr, ctypes.c_int32),
+        ptr(invalid_thr, ctypes.c_int32), ptr(low, ctypes.c_uint8),
+        ptr(orig_id, ctypes.c_int32), P,
+        ptr(new_id, ctypes.c_int32), ptr(status, ctypes.c_int32),
+        n_threads,
+    )
+    return new_id, status
 
 
 def _transfer_safe(s: str) -> str:

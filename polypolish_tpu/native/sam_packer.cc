@@ -1945,6 +1945,73 @@ void pp_free_fold(PPFoldView* view) {
   delete view;
 }
 
+// Dense-tier consensus decision (ops/consensus.py::consensus_dense_*
+// semantics; reference pileup.rs:67-134): one pass over the (8, P)
+// count tensor + thresholds -> (new_id, status).  Status codes match
+// ops/consensus.py (0 kept, 1 changed, 2 low_depth, 3 none,
+// 4 multiple, 5 too_close).
+void pp_consensus_dense(const int32_t* counts, const int32_t* valid_thr,
+                        const int32_t* invalid_thr, const uint8_t* low,
+                        const int32_t* orig_id, int64_t P,
+                        int32_t* new_id, int32_t* status,
+                        int32_t n_threads) {
+  const int64_t BLK = 4096;
+  auto do_range = [&](int64_t p_lo, int64_t p_hi) {
+    int8_t n_valid[BLK], n_inter[BLK], first_valid[BLK];
+    for (int64_t b0 = p_lo; b0 < p_hi; b0 += BLK) {
+      const int64_t m = std::min(BLK, p_hi - b0);
+      memset(n_valid, 0, (size_t)m);
+      memset(n_inter, 0, (size_t)m);
+      memset(first_valid, 0, (size_t)m);
+      for (int v = 0; v < kDenseVNative; ++v) {
+        const int32_t* row = counts + (size_t)v * (size_t)P + (size_t)b0;
+        const bool acgt = v >= 1 && v <= 4;
+        for (int64_t i = 0; i < m; ++i) {
+          int32_t c = row[i];
+          if (!acgt && c <= 0) continue;
+          if (c >= valid_thr[b0 + i]) {
+            if (n_valid[i] == 0) first_valid[i] = (int8_t)v;
+            if (n_valid[i] < 3) ++n_valid[i];
+          } else if (c >= invalid_thr[b0 + i]) {
+            if (n_inter[i] < 3) ++n_inter[i];
+          }
+        }
+      }
+      for (int64_t i = 0; i < m; ++i) {
+        const int64_t p = b0 + i;
+        int32_t nid = orig_id[p];
+        int32_t st;
+        if (low[p]) {
+          st = 2;  // low_depth
+        } else if (n_valid[i] == 1) {
+          if (n_inter[i] > 0) {
+            st = 5;  // too_close
+          } else {
+            nid = first_valid[i];
+            st = nid != orig_id[p] ? 1 : 0;  // changed : kept
+          }
+        } else if (n_valid[i] == 0) {
+          st = 3;  // none
+        } else {
+          st = 4;  // multiple
+        }
+        new_id[p] = nid;
+        status[p] = st;
+      }
+    }
+  };
+  int T = n_threads > 1 && P > (1 << 18) ? 2 : 1;
+  if (T == 1) {
+    do_range(0, P);
+  } else {
+    int64_t mid = (P / 2 + BLK - 1) / BLK * BLK;
+    if (mid > P) mid = P;
+    std::thread t1([&]() { do_range(0, mid); });
+    do_range(mid, P);
+    t1.join();
+  }
+}
+
 // Sequential-exact depth fold straight from run-header arrays (pod
 // mode: the tiny headers are allgathered in reference order and every
 // host replays them, keeping the f64 add order bit-identical to a

@@ -415,11 +415,13 @@ def polish_one_sequence(
     orig_id = _orig_ids_for_seq(contig.seq, vocab)
 
     if runs_handle is not None and backend == "host":
+        from polypolish_tpu.native import binding
+
         counts, depth, sparse, thr = runs_handle.fold(
             name, thresholds=(min_depth, fraction_valid, fraction_invalid)
         )
         valid_thr, invalid_thr, low_depth = thr
-        new_id, status = consensus_dense_numpy(
+        new_id, status = binding.consensus_dense_native(
             counts, valid_thr, invalid_thr, low_depth, orig_id
         )
     elif runs_handle is not None:

@@ -417,3 +417,26 @@ def test_fold_thresholds_match_numpy(tmp_path):
         assert np.array_equal(i, i_ref)
         assert np.array_equal(low, low_ref)
     pr.close()
+
+
+def test_consensus_dense_native_matches_numpy():
+    """The C++ blocked/threaded consensus pass must match the numpy
+    decision for randomized counts/thresholds, including count-0 ACGT
+    intermediate participation and every status code."""
+    from polypolish_tpu.native import binding
+    from polypolish_tpu.ops.consensus import consensus_dense_numpy
+
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        P = int(rng.integers(50, 5000))
+        counts = rng.integers(0, 12, size=(8, P)).astype(np.int32)
+        counts[rng.random((8, P)) < 0.5] = 0
+        depth = counts.sum(axis=0).astype(np.float64)
+        vt = np.maximum(2, (depth * 0.5).astype(np.int64)).astype(np.int32)
+        it = (depth * 0.2).astype(np.int32)
+        low = depth < 2
+        orig = rng.integers(0, 8, size=P).astype(np.int32)
+        nid_ref, st_ref = consensus_dense_numpy(counts, vt, it, low, orig)
+        nid, st = binding.consensus_dense_native(counts, vt, it, low, orig)
+        np.testing.assert_array_equal(nid, nid_ref)
+        np.testing.assert_array_equal(st, st_ref)
