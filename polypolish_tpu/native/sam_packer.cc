@@ -951,14 +951,14 @@ struct FoldBuffers {
 };
 
 // Dense counts + sparse tier for one contig (order-free integers).
-// Accumulates POSITION-major (P, 8) — a run's votes land on
-// consecutive positions, so all 8 counters of the touched positions
-// stay in cache (the row-major (8, P) layout cost ~1 cache miss per
-// event at Mb scale) — then transposes once, cache-blocked, into the
-// caller's row-major (8, P) tensor.
+// Accumulates straight into the caller's row-major (8, P) tensor: a
+// position-major staging buffer was measured a wash at Mb scale and
+// costs P*32 bytes of extra first-touch faults (3.2 GB at 100 Mb,
+// where this host's fault service time dominates).
 void fold_counts(const RunsResult& rr, int32_t contig, int64_t P,
                  int32_t* counts_out, FoldBuffers* fb) {
-  std::vector<int32_t> pm((size_t)P * kDenseVNative, 0);
+  memset(counts_out, 0,
+         (size_t)kDenseVNative * (size_t)P * sizeof(int32_t));
   std::unordered_map<int64_t, int32_t> sparse;
   const size_t n_runs = rr.run_contig.size();
   size_t ov_p = 0;
@@ -972,11 +972,10 @@ void fold_counts(const RunsResult& rr, int32_t contig, int64_t P,
     }
     const int64_t start = rr.run_start[r];
     const uint8_t* vb = rr.vbytes.data() + base;
-    int32_t* row = pm.data() + (size_t)start * kDenseVNative;
     for (int32_t j = 0; j < n; ++j) {
       uint8_t b = vb[j];
       if (b < kDenseVNative) {
-        ++row[(size_t)j * kDenseVNative + b];
+        ++counts_out[(size_t)b * (size_t)P + (size_t)(start + j)];
       } else {
         int32_t vid;
         if (b == 255) {
@@ -987,19 +986,6 @@ void fold_counts(const RunsResult& rr, int32_t contig, int64_t P,
           vid = b;  // base-vocab sparse id (8..254)
         }
         ++sparse[(start + j) * ((int64_t)1 << 31) + vid];
-      }
-    }
-  }
-  // blocked transpose (P, 8) -> (8, P)
-  const int64_t BLK = 8192;
-  for (int64_t p0 = 0; p0 < P; p0 += BLK) {
-    int64_t p1 = std::min(P, p0 + BLK);
-    for (int v = 0; v < kDenseVNative; ++v) {
-      int32_t* dst = counts_out + (size_t)v * (size_t)P + (size_t)p0;
-      const int32_t* src = pm.data() + (size_t)p0 * kDenseVNative + v;
-      for (int64_t p = p0; p < p1; ++p) {
-        *dst++ = *src;
-        src += kDenseVNative;
       }
     }
   }
