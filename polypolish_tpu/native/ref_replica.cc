@@ -611,10 +611,298 @@ size_t polish_one_sequence(const std::string& name,
   return polished_seq.size();
 }
 
+
+// ---------------------------------------------------------------------
+// filter subcommand (filter.rs:26-377): pre-screen paired SAMs by
+// insert size + pair orientation, tagging discordant alignments
+// ZP:Z:fail.  Same replica rules: mirror the Rust structure (per-line
+// strings, HashMap<String, Vec<Alignment>> keyed by name+"_1"/"_2").
+// ---------------------------------------------------------------------
+
+struct QuickAln {
+  std::string read_name, ref_name, cigar;
+  uint32_t sam_flags = 0;
+  size_t ref_start = 0;
+
+  bool is_aligned() const { return (sam_flags & 4) == 0; }
+  bool forward() const { return (sam_flags & 16) == 0; }
+
+  // alignment.rs:138-149 — regex-equivalent: a maximal digit run counts
+  // only when immediately followed by a valid CIGAR op letter.
+  size_t ref_end() const {
+    size_t end = ref_start;
+    size_t i = 0;
+    const size_t n = cigar.size();
+    auto is_op = [](char c) {
+      return c == 'M' || c == 'I' || c == 'D' || c == 'N' || c == 'S' ||
+             c == 'H' || c == 'P' || c == '=' || c == 'X';
+    };
+    while (i < n) {
+      if (cigar[i] >= '0' && cigar[i] <= '9') {
+        uint64_t num = 0;
+        size_t d = i;
+        while (d < n && cigar[d] >= '0' && cigar[d] <= '9')
+          num = num * 10 + (uint64_t)(cigar[d++] - '0');
+        if (d < n && is_op(cigar[d])) {
+          char op = cigar[d];
+          if (op == 'M' || op == 'D' || op == 'N' || op == '=' ||
+              op == 'X')
+            end += (size_t)num;
+          i = d + 1;
+        } else {
+          i = d + 1;
+        }
+      } else {
+        ++i;
+      }
+    }
+    return end;
+  }
+};
+
+// alignment.rs:102-128 (new_quick)
+bool quick_parse(std::string_view line, QuickAln* a) {
+  std::string_view parts[16];
+  int nf = 0;
+  size_t start = 0;
+  for (size_t i = 0; i <= line.size() && nf < 16; ++i) {
+    if (i == line.size() || line[i] == '\t') {
+      parts[nf++] = line.substr(start, i - start);
+      start = i + 1;
+    }
+  }
+  if (nf < 11) return false;
+  a->read_name.assign(parts[0]);
+  a->sam_flags = (uint32_t)parse_uint(parts[1]);
+  a->ref_name.assign(parts[2]);
+  uint64_t rs = parse_uint(parts[3]);
+  a->ref_start = (size_t)(rs > 0 ? rs - 1 : rs);
+  a->cigar.assign(parts[5]);
+  return true;
+}
+
+// filter.rs:189-209
+std::string get_orientation(const QuickAln& a1, const QuickAln& a2) {
+  char s1 = a1.forward() ? 'f' : 'r';
+  char s2 = a2.forward() ? 'f' : 'r';
+  size_t p1 = a1.forward() ? a1.ref_start : a1.ref_end();
+  size_t p2 = a2.forward() ? a2.ref_start : a2.ref_end();
+  if (s1 != s2) {
+    if (p1 < p2) return std::string{s1, s2};
+    return std::string{s2, s1};
+  }
+  if (s1 == 'f') return p1 < p2 ? "ff" : "rr";
+  return p2 < p1 ? "ff" : "rr";
+}
+
+// filter.rs:212-218
+uint32_t get_insert_size(const QuickAln& a1, const QuickAln& a2) {
+  size_t pts[4] = {a1.ref_start, a1.ref_end(), a2.ref_start, a2.ref_end()};
+  size_t lo = pts[0], hi = pts[0];
+  for (size_t p : pts) {
+    lo = std::min(lo, p);
+    hi = std::max(hi, p);
+  }
+  return (uint32_t)(hi - lo);
+}
+
+// filter.rs:249-259 (nearest rank on a sorted list)
+uint32_t get_percentile(const std::vector<uint32_t>& sorted, double pct) {
+  if (sorted.empty()) return 0;
+  double fraction = pct / 100.0;
+  double r = std::ceil(fraction * (double)sorted.size());
+  size_t rank = r < 1.0 ? 1 : (size_t)r;
+  if (rank < 1) rank = 1;
+  if (rank > sorted.size()) return 0;
+  return sorted[rank - 1];
+}
+
+// filter.rs:352-377
+bool alignment_pass_qc(const QuickAln& a,
+                       const std::vector<QuickAln>& this_alns,
+                       const std::vector<QuickAln>& pair_alns,
+                       uint32_t low, uint32_t high,
+                       const std::string& correct_orientation) {
+  if (pair_alns.empty()) return true;
+  if (this_alns.size() == 1) return true;
+  for (const auto& pa : pair_alns) {
+    bool same_ref = a.ref_name == pa.ref_name;
+    uint32_t insert = get_insert_size(a, pa);
+    std::string orientation = get_orientation(a, pa);
+    if (same_ref && low <= insert && insert <= high &&
+        orientation == correct_orientation)
+      return true;
+  }
+  return false;
+}
+
+using AlnMap = std::unordered_map<std::string, std::vector<QuickAln>>;
+
+// filter.rs:110-145
+void filter_load_one(const std::string& filename, AlnMap& alignments,
+                     const char* suffix) {
+  std::ifstream f(filename);
+  if (!f)
+    quit_with_error("unable to load alignments from \"" + filename + "\"");
+  std::string line;
+  size_t line_count = 0;
+  size_t alignment_count = 0;
+  while (std::getline(f, line)) {
+    ++line_count;
+    if (!line.empty() && line.back() == '\r') line.pop_back();
+    if (!line.empty() && line[0] == '@') continue;
+    QuickAln a;
+    if (!quick_parse(line, &a))
+      quit_with_error("too few columns in \"" + filename + "\" (line " +
+                      std::to_string(line_count) + ")");
+    if (!a.is_aligned()) continue;
+    a.read_name += suffix;
+    alignments[a.read_name].push_back(std::move(a));
+    ++alignment_count;
+  }
+  if (alignments.empty())
+    quit_with_error("no alignments found in \"" + filename + "\"");
+  fprintf(stderr, "%s: %zu alignments\n", filename.c_str(),
+          alignment_count);
+}
+
+// filter.rs:296-349
+size_t filter_one_sam(const std::string& in_path,
+                      const std::string& out_path, const AlnMap& alignments,
+                      uint32_t low, uint32_t high,
+                      const std::string& correct_orientation, int read_num) {
+  std::ifstream f(in_path);
+  if (!f)
+    quit_with_error("unable to load alignments from \"" + in_path + "\"");
+  FILE* out = fopen(out_path.c_str(), "wb");
+  if (!out)
+    quit_with_error("unable to write alignments to \"" + out_path + "\"");
+  static const std::vector<QuickAln> kNone;
+  std::string line;
+  size_t pass_count = 0, fail_count = 0;
+  while (std::getline(f, line)) {
+    if (!line.empty() && line.back() == '\r') line.pop_back();
+    if (!line.empty() && line[0] == '@') {
+      fwrite(line.data(), 1, line.size(), out);
+      fputc('\n', out);
+      continue;
+    }
+    QuickAln a;
+    quick_parse(line, &a);
+    if (!a.is_aligned()) {
+      fwrite(line.data(), 1, line.size(), out);
+      fputc('\n', out);
+      continue;
+    }
+    std::string this_name = a.read_name + (read_num == 1 ? "_1" : "_2");
+    std::string pair_name = a.read_name + (read_num == 1 ? "_2" : "_1");
+    auto it = alignments.find(this_name);
+    const std::vector<QuickAln>& this_alns =
+        it != alignments.end() ? it->second : kNone;
+    auto pit = alignments.find(pair_name);
+    const std::vector<QuickAln>& pair_alns =
+        pit != alignments.end() ? pit->second : kNone;
+    if (alignment_pass_qc(a, this_alns, pair_alns, low, high,
+                          correct_orientation)) {
+      fwrite(line.data(), 1, line.size(), out);
+      fputc('\n', out);
+      ++pass_count;
+    } else {
+      fwrite(line.data(), 1, line.size(), out);
+      fwrite("\tZP:Z:fail", 1, 10, out);
+      fputc('\n', out);
+      ++fail_count;
+    }
+  }
+  fclose(out);
+  fprintf(stderr, "  %zu pass / %zu fail\n", pass_count, fail_count);
+  return pass_count;
+}
+
+int main_filter(int argc, char** argv) {
+  std::string in1, in2, out1, out2, orientation = "auto";
+  double low = 0.1, high = 99.9;
+  for (int i = 2; i < argc; ++i) {
+    std::string_view a = argv[i];
+    if (a == "--in1" && i + 1 < argc) in1 = argv[++i];
+    else if (a == "--in2" && i + 1 < argc) in2 = argv[++i];
+    else if (a == "--out1" && i + 1 < argc) out1 = argv[++i];
+    else if (a == "--out2" && i + 1 < argc) out2 = argv[++i];
+    else if (a == "--orientation" && i + 1 < argc) orientation = argv[++i];
+    else if (a == "--low" && i + 1 < argc) low = atof(argv[++i]);
+    else if (a == "--high" && i + 1 < argc) high = atof(argv[++i]);
+  }
+  if (in1.empty() || in2.empty() || out1.empty() || out2.empty()) {
+    fprintf(stderr, "ppref filter: --in1/--in2/--out1/--out2 required\n");
+    return 2;
+  }
+  double t0 = now_s();
+  AlnMap alignments;
+  filter_load_one(in1, alignments, "_1");
+  filter_load_one(in2, alignments, "_2");
+
+  // thresholds from unique-unique same-ref pairs (filter.rs:148-186)
+  std::unordered_map<std::string, std::vector<uint32_t>> insert_sizes;
+  for (const auto& kv : alignments) {
+    const std::string& name1 = kv.first;
+    const auto& alns1 = kv.second;
+    if (name1.size() < 2 || name1.compare(name1.size() - 2, 2, "_1") != 0)
+      continue;
+    if (alns1.size() != 1) continue;
+    std::string name2 = name1.substr(0, name1.size() - 2) + "_2";
+    auto it = alignments.find(name2);
+    if (it == alignments.end()) continue;
+    const auto& alns2 = it->second;
+    if (alns2.size() != 1 || alns1[0].ref_name != alns2[0].ref_name)
+      continue;
+    insert_sizes[get_orientation(alns1[0], alns2[0])].push_back(
+        get_insert_size(alns1[0], alns2[0]));
+  }
+  if (insert_sizes.empty())
+    quit_with_error(
+        "no one-alignment-per-read pairs available to determine "
+        "orientation and insert size thresholds");
+  std::string correct = orientation;
+  if (orientation == "auto") {
+    size_t max_count = 0;
+    for (auto& kv : insert_sizes)
+      max_count = std::max(max_count, kv.second.size());
+    std::vector<std::string> winners;
+    for (const char* o : {"fr", "rf", "ff", "rr"}) {
+      auto it = insert_sizes.find(o);
+      size_t c = it == insert_sizes.end() ? 0 : it->second.size();
+      if (c == max_count) winners.push_back(o);
+    }
+    if (winners.size() != 1)
+      quit_with_error(
+          "could not automatically determine read pair orientation");
+    correct = winners[0];
+  }
+  std::vector<uint32_t> sizes;
+  auto sit = insert_sizes.find(correct);
+  if (sit != insert_sizes.end()) sizes = sit->second;
+  if (sizes.empty())
+    quit_with_error(
+        "no read pairs available to determine insert size thresholds");
+  std::sort(sizes.begin(), sizes.end());
+  uint32_t low_thr = get_percentile(sizes, low);
+  uint32_t high_thr = get_percentile(sizes, high);
+  fprintf(stderr, "orientation %s, thresholds %u..%u\n", correct.c_str(),
+          low_thr, high_thr);
+
+  filter_one_sam(in1, out1, alignments, low_thr, high_thr, correct, 1);
+  filter_one_sam(in2, out2, alignments, low_thr, high_thr, correct, 2);
+  fprintf(stderr, "PPREF_TIMING total_s=%.6f\n", now_s() - t0);
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
   init_comp();
+  if (argc >= 2 && std::string_view(argv[1]) == "filter") {
+    return main_filter(argc, argv);
+  }
   if (argc < 2 || std::string_view(argv[1]) != "polish") {
     fprintf(stderr,
             "usage: ppref polish [--debug FILE] [-i F] [-v F] [-m N] [-d N] "

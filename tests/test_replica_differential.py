@@ -116,3 +116,91 @@ def test_polish_matches_replica_shuffled_groups(tmp_path):
     rp_fa, rp_tsv = _replica_polish(tmp_path, asm, [sam], "shuf")
     assert fw_fa == rp_fa
     assert fw_tsv == rp_tsv
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5, 6])
+def test_filter_matches_replica(tmp_path, seed):
+    """Both output SAMs of the filter subcommand must be byte-identical
+    between the framework and the replica (thresholds, orientation,
+    pair-grid verdicts, ZP:Z:fail re-stream)."""
+    from polypolish_tpu import log
+    from polypolish_tpu.pipeline.filtering import filter_pairs
+
+    s1, s2 = synth.make_filter_case(seed=seed)
+    in1 = tmp_path / "in1.sam"
+    in1.write_text(s1)
+    in2 = tmp_path / "in2.sam"
+    in2.write_text(s2)
+    fw1, fw2 = tmp_path / "fw1.sam", tmp_path / "fw2.sam"
+    with log.quiet():
+        filter_pairs(str(in1), str(in2), str(fw1), str(fw2),
+                     "auto", 0.1, 99.9)
+
+    binary = replica.build()
+    rp1, rp2 = tmp_path / "rp1.sam", tmp_path / "rp2.sam"
+    proc = subprocess.run(
+        [binary, "filter", "--in1", str(in1), "--in2", str(in2),
+         "--out1", str(rp1), "--out2", str(rp2)],
+        capture_output=True, check=False,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    assert fw1.read_bytes() == rp1.read_bytes()
+    assert fw2.read_bytes() == rp2.read_bytes()
+
+
+@pytest.mark.parametrize("orientation,low,high", [
+    ("fr", 1.0, 99.0), ("fr", 25.0, 75.0), ("auto", 0.1, 99.9),
+])
+def test_filter_matches_replica_params(tmp_path, orientation, low, high):
+    from polypolish_tpu import log
+    from polypolish_tpu.pipeline.filtering import filter_pairs
+
+    s1, s2 = synth.make_filter_case(seed=9)
+    in1 = tmp_path / "in1.sam"
+    in1.write_text(s1)
+    in2 = tmp_path / "in2.sam"
+    in2.write_text(s2)
+    fw1, fw2 = tmp_path / "fw1.sam", tmp_path / "fw2.sam"
+    with log.quiet():
+        filter_pairs(str(in1), str(in2), str(fw1), str(fw2),
+                     orientation, low, high)
+    binary = replica.build()
+    rp1, rp2 = tmp_path / "rp1.sam", tmp_path / "rp2.sam"
+    proc = subprocess.run(
+        [binary, "filter", "--in1", str(in1), "--in2", str(in2),
+         "--out1", str(rp1), "--out2", str(rp2),
+         "--orientation", orientation, "--low", str(low),
+         "--high", str(high)],
+        capture_output=True, check=False,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    assert fw1.read_bytes() == rp1.read_bytes()
+    assert fw2.read_bytes() == rp2.read_bytes()
+
+
+def test_filter_no_pairs_error_matches_replica(tmp_path):
+    """An orientation with zero unique-unique pairs fatals identically
+    on both sides (filter.rs:175-177 'no read pairs available')."""
+    from polypolish_tpu import log
+    from polypolish_tpu.errors import PolypolishError
+    from polypolish_tpu.pipeline.filtering import filter_pairs
+
+    s1, s2 = synth.make_filter_case(seed=9)
+    in1 = tmp_path / "in1.sam"
+    in1.write_text(s1)
+    in2 = tmp_path / "in2.sam"
+    in2.write_text(s2)
+    with log.quiet(), pytest.raises(
+            PolypolishError, match="no read pairs available"):
+        filter_pairs(str(in1), str(in2), str(tmp_path / "o1.sam"),
+                     str(tmp_path / "o2.sam"), "rf", 5.0, 95.0)
+    binary = replica.build()
+    proc = subprocess.run(
+        [binary, "filter", "--in1", str(in1), "--in2", str(in2),
+         "--out1", str(tmp_path / "r1.sam"),
+         "--out2", str(tmp_path / "r2.sam"),
+         "--orientation", "rf", "--low", "5.0", "--high", "95.0"],
+        capture_output=True, check=False,
+    )
+    assert proc.returncode == 1
+    assert b"no read pairs available" in proc.stderr
