@@ -1350,34 +1350,26 @@ static int64_t quick_ref_end(std::string_view cigar, int64_t ref_start) {
 
 static bool quick_parse_file(const char* filename, QuickFile& out,
                              std::unordered_map<std::string, int64_t>& names,
+                             std::vector<std::string>* name_strs,
                              std::unordered_map<std::string, int32_t>& refs,
+                             std::vector<std::string>* ref_strs,
                              QuickBuffers& qb) {
-  FILE* f = fopen(filename, "rb");
-  std::string data;
-  bool ok = f != nullptr;
-  if (ok) {
-    fseek(f, 0, SEEK_END);
-    long fsize = ftell(f);
-    fseek(f, 0, SEEK_SET);
-    data.resize((size_t)fsize);
-    if (fsize > 0 &&
-        fread(data.data(), 1, (size_t)fsize, f) != (size_t)fsize)
-      ok = false;
-    fclose(f);
-  }
-  if (!ok) {
+  MappedFile mf(filename);
+  if (!mf.ok) {
     qb.status = 1;
     qb.error = std::string("unable to load alignments from \"") + filename +
                "\"";
     return false;
   }
+  std::string_view data(mf.data, mf.size);
 
-  std::unordered_map<int64_t, char> seen_names;  // per-file distinct count
+  std::vector<uint8_t> seen;  // per-file distinct-name flags by id
+  seen.reserve(names.size() + 1024);
   int64_t line_no = 0;
   size_t off = 0;
   while (off < data.size()) {
     size_t nl = data.find('\n', off);
-    if (nl == std::string::npos) nl = data.size();
+    if (nl == std::string_view::npos) nl = data.size();
     size_t llen = nl - off;
     if (llen > 0 && data[off + llen - 1] == '\r') --llen;
     ++line_no;
@@ -1391,13 +1383,19 @@ static bool quick_parse_file(const char* filename, QuickFile& out,
     int nf = 0;
     const char* start = line;
     const char* end_p = line + llen;
-    for (const char* q = line; q <= end_p && nf < 12; ++q) {
-      if (q == end_p || *q == '\t') {
+    while (nf < 12) {
+      const char* q =
+          (const char*)memchr(start, '\t', (size_t)(end_p - start));
+      if (!q) {
         fields[nf] = start;
-        flens[nf] = (size_t)(q - start);
+        flens[nf] = (size_t)(end_p - start);
         ++nf;
-        start = q + 1;
+        break;
       }
+      fields[nf] = start;
+      flens[nf] = (size_t)(q - start);
+      ++nf;
+      start = q + 1;
     }
     if (nf < 11) {
       qb.status = 1;
@@ -1411,10 +1409,16 @@ static bool quick_parse_file(const char* filename, QuickFile& out,
     std::string name(fields[0], flens[0]);
     auto [nit, nnew] = names.emplace(std::move(name), (int64_t)names.size());
     int64_t nid = nit->second;
-    if (seen_names.emplace(nid, 1).second) ++out.n_names;
+    if (nnew && name_strs) name_strs->push_back(nit->first);
+    if ((size_t)nid >= seen.size()) seen.resize((size_t)nid + 1024, 0);
+    if (!seen[(size_t)nid]) {
+      seen[(size_t)nid] = 1;
+      ++out.n_names;
+    }
 
     std::string ref(fields[2], flens[2]);
     auto [rit, rnew] = refs.emplace(std::move(ref), (int32_t)refs.size());
+    if (rnew && ref_strs) ref_strs->push_back(rit->first);
 
     int64_t rs = parse_int(std::string_view(fields[3], flens[3]));
     int64_t ref_start = rs > 0 ? rs - 1 : rs;
@@ -1435,10 +1439,43 @@ PPQuickView* pp_quick_parse_pair(const char* file1, const char* file2) {
   memset(view, 0, sizeof(*view));
   view->handle = qb;
 
-  std::unordered_map<std::string, int64_t> names;
-  std::unordered_map<std::string, int32_t> refs;
-  if (quick_parse_file(file1, qb->f[0], names, refs, *qb)) {
-    quick_parse_file(file2, qb->f[1], names, refs, *qb);
+  // Parse the two files concurrently with per-file intern maps, then
+  // remap file 2's ids into file 1's space (new names appended in file-
+  // 2 first-encounter order — identical ids to a sequential shared-map
+  // parse, which is what the Python layer's pairing logic assumes).
+  std::unordered_map<std::string, int64_t> names1, names2;
+  std::vector<std::string> name_strs2;
+  std::unordered_map<std::string, int32_t> refs1, refs2;
+  std::vector<std::string> ref_strs2;
+  QuickBuffers qb2;
+  bool ok1 = false, ok2 = false;
+  std::thread t2([&]() {
+    ok2 = quick_parse_file(file2, qb->f[1], names2, &name_strs2, refs2,
+                           &ref_strs2, qb2);
+  });
+  ok1 = quick_parse_file(file1, qb->f[0], names1, nullptr, refs1, nullptr,
+                         *qb);
+  t2.join();
+  if (ok1 && !ok2) {
+    qb->status = qb2.status;
+    qb->error = qb2.error;
+  }
+  if (ok1 && ok2) {
+    // name remap: file-2 local id -> shared id space
+    std::vector<int64_t> nmap(name_strs2.size());
+    int64_t next_name = (int64_t)names1.size();
+    for (size_t i = 0; i < name_strs2.size(); ++i) {
+      auto it = names1.find(name_strs2[i]);
+      nmap[i] = it != names1.end() ? it->second : next_name++;
+    }
+    std::vector<int32_t> rmap(ref_strs2.size());
+    int32_t next_ref = (int32_t)refs1.size();
+    for (size_t i = 0; i < ref_strs2.size(); ++i) {
+      auto it = refs1.find(ref_strs2[i]);
+      rmap[i] = it != refs1.end() ? it->second : next_ref++;
+    }
+    for (auto& nid : qb->f[1].name_id) nid = nmap[(size_t)nid];
+    for (auto& rid : qb->f[1].ref_id) rid = rmap[(size_t)rid];
   }
 
   for (int i = 0; i < 2; ++i) {
@@ -1489,28 +1526,15 @@ PPRewriteView* pp_rewrite_sam(const char* in_filename,
   memset(view, 0, sizeof(*view));
   view->handle = rb;
 
-  std::string data;
-  {
-    FILE* f = fopen(in_filename, "rb");
-    bool ok = f != nullptr;
-    if (ok) {
-      fseek(f, 0, SEEK_END);
-      long fsize = ftell(f);
-      fseek(f, 0, SEEK_SET);
-      data.resize((size_t)fsize);
-      if (fsize > 0 &&
-          fread(data.data(), 1, (size_t)fsize, f) != (size_t)fsize)
-        ok = false;
-      fclose(f);
-    }
-    if (!ok) {
-      view->status = 1;
-      rb->error = std::string("unable to load alignments from \"") +
-                  in_filename + "\"";
-      view->error = rb->error.c_str();
-      return view;
-    }
+  MappedFile mf(in_filename);
+  if (!mf.ok) {
+    view->status = 1;
+    rb->error = std::string("unable to load alignments from \"") +
+                in_filename + "\"";
+    view->error = rb->error.c_str();
+    return view;
   }
+  std::string_view data(mf.data, mf.size);
 
   static const char kFailTag[] = "\tZP:Z:fail";
   std::string out;
@@ -1522,9 +1546,20 @@ PPRewriteView* pp_rewrite_sam(const char* in_filename,
   size_t off = 0;
   const size_t n = data.size();
   while (off < n) {
-    // universal-newline line scan: '\n', '\r', or "\r\n" all terminate
-    size_t e = off;
-    while (e < n && data[e] != '\n' && data[e] != '\r') ++e;
+    // universal-newline line scan: '\n', '\r', or "\r\n" all terminate.
+    // Fast path: memchr to the next '\n', then check for a '\r' inside
+    // (lone-'\r' line breaks are vanishingly rare in SAM).
+    size_t e;
+    const char* nlp =
+        (const char*)memchr(data.data() + off, '\n', n - off);
+    size_t nl_at = nlp ? (size_t)(nlp - data.data()) : n;
+    const char* crp =
+        (const char*)memchr(data.data() + off, '\r', nl_at - off);
+    if (crp) {
+      e = (size_t)(crp - data.data());
+    } else {
+      e = nl_at;
+    }
     const char* line = data.data() + off;
     size_t llen = e - off;
     if (e < n) {

@@ -327,10 +327,28 @@ def filter_sams(
         'written to the output file with a "ZP:Z:fail" tag so Polypolish '
         "will not use them."
     )
-    after_count = 0
+    # the two output rewrites are independent; the native re-stream
+    # releases the GIL, so run them concurrently.  The stderr narrative
+    # (Filtering <file>: / pass / fail) is printed after both complete,
+    # in reference order.
+    import concurrent.futures
+
+    jobs = []
     for which, (in_f, out_f) in enumerate(((in1, out1), (in2, out2))):
-        verdicts = compute_verdicts(files, which, low, high, correct_orientation)
-        after_count += _rewrite_sam(in_f, out_f, verdicts)
+        verdicts = compute_verdicts(files, which, low, high,
+                                    correct_orientation)
+        jobs.append((in_f, out_f, verdicts))
+    after_count = 0
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        futures = [pool.submit(_rewrite_sam_quiet, i, o, v)
+                   for i, o, v in jobs]
+        results = [fut.result() for fut in futures]
+    for (in_f, _o, _v), (pass_count, fail_count) in zip(jobs, results):
+        log.eprint(f"Filtering {in_f}:")
+        log.eprint(f"  {log.thousands(pass_count)} pass")
+        log.eprint(f"  {log.thousands(fail_count)} fail")
+        log.eprint()
+        after_count += pass_count
     return after_count
 
 
@@ -424,16 +442,31 @@ def _rewrite_native(in_filename: str, out_filename: str, verdicts: np.ndarray):
     return binding.rewrite_sam_native(in_filename, out_filename, verdicts)
 
 
-def _rewrite_sam(in_filename: str, out_filename: str, verdicts: np.ndarray) -> int:
-    """Re-stream one input, writing pass-through or ZP:Z:fail-tagged lines."""
-    log.eprint(f"Filtering {in_filename}:")
+def _rewrite_sam_quiet(in_filename: str, out_filename: str,
+                       verdicts: np.ndarray):
+    """Re-stream one input, writing pass-through or ZP:Z:fail-tagged
+    lines; returns (pass_count, fail_count) without stderr output
+    (thread-safe half of _rewrite_sam)."""
     native_counts = _rewrite_native(in_filename, out_filename, verdicts)
     if native_counts is not None:
-        pass_count, fail_count = native_counts
-        log.eprint(f"  {log.thousands(pass_count)} pass")
-        log.eprint(f"  {log.thousands(fail_count)} fail")
-        log.eprint()
-        return pass_count
+        return native_counts
+    return _rewrite_python(in_filename, out_filename, verdicts)
+
+
+def _rewrite_sam(in_filename: str, out_filename: str, verdicts: np.ndarray) -> int:
+    """Re-stream one input with the reference's stderr narrative."""
+    log.eprint(f"Filtering {in_filename}:")
+    pass_count, fail_count = _rewrite_sam_quiet(
+        in_filename, out_filename, verdicts
+    )
+    log.eprint(f"  {log.thousands(pass_count)} pass")
+    log.eprint(f"  {log.thousands(fail_count)} fail")
+    log.eprint()
+    return pass_count
+
+
+def _rewrite_python(in_filename: str, out_filename: str,
+                    verdicts: np.ndarray):
     pass_count = 0
     fail_count = 0
     idx = 0
@@ -466,7 +499,4 @@ def _rewrite_sam(in_filename: str, out_filename: str, verdicts: np.ndarray) -> i
                 fout.write(sam_line + "\tZP:Z:fail\n")
                 fail_count += 1
             idx += 1
-    log.eprint(f"  {log.thousands(pass_count)} pass")
-    log.eprint(f"  {log.thousands(fail_count)} fail")
-    log.eprint()
-    return pass_count
+    return pass_count, fail_count
