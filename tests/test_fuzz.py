@@ -91,3 +91,66 @@ def test_fuzz_filter(tmp_path, seed):
 
     check(sam1, out1.read_text(), v1)
     check(sam2, out2.read_text(), v2)
+
+
+@pytest.mark.parametrize("seed", range(400, 420))
+def test_fuzz_polish_vs_replica(tmp_path, seed):
+    """Three-way differential fuzz: framework output must be
+    byte-identical to the independent replica binary across randomized
+    generator parameters (the oracle fuzz above covers the same ground
+    from a third implementation)."""
+    from polypolish_tpu.native import replica
+
+    if replica.build() is None:
+        pytest.skip("ppref build unavailable")
+    params = dict(
+        genome_len=250 + seed * 41 % 600,
+        n_reads=120 + seed * 17 % 350,
+        read_len=18 + seed % 45,
+        err=0.02 + (seed % 6) * 0.025,
+        multi_frac=(seed % 5) * 0.12,
+        n_draft_errors=seed % 9,
+        shuffle_groups=(seed % 3 == 0),
+    )
+    fasta, sam_text = synth.make_polish_case(seed=seed, **params)
+    asm = tmp_path / "a.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "a.sam"
+    sam.write_text(sam_text)
+    debug = tmp_path / "d.tsv"
+    out = io.StringIO()
+    polish(
+        str(debug), 0.2, 0.5, 10, 5, False, str(asm), [str(sam)],
+        out=out, backend="host", use_native=(seed % 2 == 0),
+    )
+    rdbg = str(tmp_path / "r.tsv")
+    proc = replica.run_polish(str(asm), [str(sam)], debug=rdbg)
+    assert proc.returncode == 0, (params, proc.stderr.decode())
+    assert out.getvalue().encode() == proc.stdout, f"params={params}"
+    assert debug.read_bytes() == open(rdbg, "rb").read(), f"params={params}"
+
+
+@pytest.mark.parametrize("seed", range(420, 430))
+def test_fuzz_filter_vs_replica(tmp_path, seed):
+    import subprocess
+
+    from polypolish_tpu.native import replica
+
+    if replica.build() is None:
+        pytest.skip("ppref build unavailable")
+    s1, s2 = synth.make_filter_case(seed=seed)
+    in1 = tmp_path / "i1.sam"
+    in1.write_text(s1)
+    in2 = tmp_path / "i2.sam"
+    in2.write_text(s2)
+    fw1, fw2 = tmp_path / "f1.sam", tmp_path / "f2.sam"
+    filter_pairs(str(in1), str(in2), str(fw1), str(fw2), "auto", 0.1, 99.9)
+    rp1, rp2 = tmp_path / "r1.sam", tmp_path / "r2.sam"
+    proc = subprocess.run(
+        [replica.build(), "filter", "--in1", str(in1), "--in2", str(in2),
+         "--out1", str(rp1), "--out2", str(rp2)],
+        capture_output=True, check=False,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    assert fw1.read_bytes() == rp1.read_bytes()
+    assert fw2.read_bytes() == rp2.read_bytes()
