@@ -113,6 +113,29 @@ def build_parser() -> argparse.ArgumentParser:
         help="Shard the SAM ingest over N byte-range shards (config-4 "
         "pod mode; output is bit-identical to unsharded)",
     )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="Multi-process pod polish: launch one copy of this command "
+        "per host, shard the SAM ingest across processes, and merge "
+        "counts with jax collectives. Coordinator comes from "
+        "--coordinator/--num-processes/--process-id, the "
+        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID env "
+        "vars, or TPU pod auto-detection. Process 0 writes the output; "
+        "bit-identical to single-process polish",
+    )
+    p.add_argument(
+        "--coordinator", default=None,
+        help="jax.distributed coordinator address host:port "
+        "(with --distributed)",
+    )
+    p.add_argument(
+        "--num-processes", type=int, default=None,
+        help="Total process count (with --distributed)",
+    )
+    p.add_argument(
+        "--process-id", type=int, default=None,
+        help="This process's index (with --distributed)",
+    )
     p.add_argument("assembly", help="Assembly to polish (one file in FASTA format)")
     p.add_argument(
         "sam", nargs="+", help="Short read alignments (one or more files in SAM format)"
@@ -201,6 +224,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         build_parser().print_help(sys.stderr)
         return 2
     args = build_parser().parse_args(argv)
+    import os
+
+    platform = os.environ.get("POLYPOLISH_TPU_PLATFORM")
+    if platform:
+        # Force the JAX platform via jax.config: some TPU plugins
+        # override the JAX_PLATFORMS environment variable, so an env
+        # var alone is not reliable.
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     from polypolish_tpu.utils.compile_cache import enable_persistent_cache
     from polypolish_tpu.utils.malloc_tuning import tune_malloc
 
@@ -215,7 +248,44 @@ def main(argv: Optional[List[str]] = None) -> int:
                 args.orientation, args.low, args.high,
             )
         elif args.command == "polish":
-            if args.pod_shards and args.pod_shards > 1:
+            if args.distributed:
+                from polypolish_tpu.parallel.multihost import (
+                    initialize_distributed,
+                )
+                from polypolish_tpu.pipeline.pod_distributed import (
+                    polish_pod_distributed,
+                )
+
+                # The FASTA rides stdout, but distributed backends'
+                # native layers (e.g. Gloo's connection banner) write to
+                # fd 1 directly.  Keep the real stdout for the FASTA and
+                # repoint fd 1 at stderr so native chatter cannot
+                # corrupt the output stream.
+                fasta_out = os.fdopen(os.dup(1), "w")
+                sys.stdout.flush()
+                os.dup2(2, 1)
+                if not initialize_distributed(
+                    args.coordinator, args.num_processes, args.process_id
+                ):
+                    from polypolish_tpu.errors import quit_with_error
+
+                    quit_with_error(
+                        "--distributed requires a coordinator: pass "
+                        "--coordinator/--num-processes/--process-id, set "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID, or run under a TPU pod runtime"
+                    )
+                try:
+                    polish_pod_distributed(
+                        args.debug, args.fraction_invalid,
+                        args.fraction_valid, args.max_errors,
+                        args.min_depth, args.careful,
+                        args.assembly, args.sam, out=fasta_out,
+                        n_threads=args.threads,
+                    )
+                finally:
+                    fasta_out.flush()
+            elif args.pod_shards and args.pod_shards > 1:
                 from polypolish_tpu.pipeline.pod import polish_pod
 
                 polish_pod(
