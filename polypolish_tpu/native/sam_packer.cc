@@ -34,6 +34,7 @@
 #include <string>
 #include <string_view>
 #include <thread>
+#include <type_traits>
 #include <unordered_map>
 #include <vector>
 
@@ -183,6 +184,8 @@ struct WorkerBase {
   std::vector<std::string> new_strings;
   int64_t err_line = INT64_MAX;     // for deterministic error selection
 
+  void prepare() {}                 // post-interner-init hook
+
   bool fail(const std::string& msg, int64_t line_no) {
     if (res.status == 0) {
       res.status = 1;
@@ -225,23 +228,18 @@ struct RunsWorker : WorkerBase {
   std::vector<int32_t> run_contig, run_start, run_len, run_k;
   std::vector<uint8_t> vbytes;
   std::vector<std::pair<int64_t, int32_t>> overflow;  // (local evt idx, vid)
+  uint8_t lut8[256];   // raw seq byte (case-folded) -> vocab byte; 255 = slow
+  std::string tmp_str; // reused insertion-string buffer
 
-  void sink_begin(int32_t contig, int64_t ref_start, int64_t n_events,
-                  int32_t k) {
-    run_contig.push_back(contig);
-    run_start.push_back((int32_t)ref_start);
-    run_len.push_back((int32_t)n_events);
-    run_k.push_back(k);
-  }
-  void sink_emit(int32_t vid) {
+  void prepare() {
     // Bytes may only carry BASE-vocab ids (identical across threads);
-    // locally interned ids are thread-local and must go through the
-    // overflow list, whose vids the merge remaps to global ids.
-    if (vid >= 0 && vid < interner.n_base && vid < 255) {
-      vbytes.push_back((uint8_t)vid);
-    } else {
-      overflow.emplace_back((int64_t)vbytes.size(), vid);
-      vbytes.push_back(255);
+    // anything else (locally interned, id >= 255) takes the slow path
+    // and lands in the overflow list, remapped to global ids on merge.
+    for (int c = 0; c < 256; ++c) {
+      int32_t vid = interner.char_ids[(unsigned char)kUpper[c]];
+      lut8[c] = (vid >= 0 && vid < interner.n_base && vid < 255)
+                    ? (uint8_t)vid
+                    : (uint8_t)255;
     }
   }
 };
@@ -374,6 +372,220 @@ bool process_group(W& w, std::vector<Aln>& group, int64_t line_no) {
     }
   }
   return true;
+}
+
+// Fast run-direct processing for the RunsWorker sink (the round-2 hot
+// path).  Same semantics as process_group<> (alignment.rs:275-305,
+// pileup.rs:189-200) but with the per-alignment work collapsed:
+//
+// - no per-target-position (start, end) ranges vector: the CIGAR is
+//   walked op-by-op and M/=/X runs are emitted as one LUT-translated
+//   byte copy, D runs as a fill of vid 0 ('-'), and I merges into the
+//   previously emitted entry (alignment.rs:182-184);
+// - no uppercased sequence copy: the seq-byte -> vocab-byte LUT folds
+//   case (the reference uppercases at parse, alignment.rs:94); the
+//   primary seq is materialised only when a '*' secondary needs it;
+// - the homopolymer trim (alignment.rs:364-378) runs on the emitted
+//   vid bytes: vid equality <=> read-substring equality because the
+//   interner is injective and distinct kinds (single base / multi-base
+//   insertion / '-' deletion) can never share a vid.
+//
+// Differentially tested against the Python packer, the generic
+// process_group<Worker>, and ppref (tests/test_native.py,
+// tests/test_replica_differential.py).
+bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
+                        int64_t line_no) {
+  const Shared& sh = *w.sh;
+  Result& res = w.res;
+  if (sh.careful && group.size() > 1) return true;
+
+  const Aln* primary = nullptr;
+  for (const Aln& a : group) {
+    if (a.seq_raw != "*") { primary = &a; break; }
+  }
+  if (!primary) {
+    return w.fail("no alignments for read " + std::string(group[0].read_name) +
+                      " contain sequence",
+                  line_no);
+  }
+  bool primary_fwd = primary->forward();
+  std::string primary_seq;  // materialised lazily ('*' secondaries only)
+
+  int n_good = 0;
+  for (Aln& a : group) {
+    a.good = starts_and_ends_with_match(a.cigar) &&
+             a.mismatches <= sh.max_errors && a.pass_qc;
+    if (a.good) ++n_good;
+  }
+  if (n_good == 0) return true;
+  res.used_count += n_good;
+
+  for (Aln& a : group) {
+    if (!a.good) continue;
+    const char* seq;
+    size_t seq_len;
+    if (a.seq_raw == "*") {
+      if (primary_seq.empty()) {
+        primary_seq.assign(primary->seq_raw);
+        ascii_upper_inplace(primary_seq);
+      }
+      a.seq_owned = (a.forward() == primary_fwd) ? primary_seq
+                                                 : revcomp_str(primary_seq);
+      seq = a.seq_owned.data();
+      seq_len = a.seq_owned.size();
+    } else {
+      seq = a.seq_raw.data();   // raw case: the LUT folds case per byte
+      seq_len = a.seq_raw.size();
+    }
+
+    auto cit = sh.contig_ids.find(a.ref_name);
+    if (cit == sh.contig_ids.end()) {
+      return w.fail("query name " + std::string(a.ref_name) +
+                        " in SAM but not in assembly",
+                    line_no);
+    }
+    int32_t contig = cit->second;
+
+    const size_t mark = w.vbytes.size();
+    const size_t ov_mark = w.overflow.size();
+    int64_t i = 0;            // read index (alignment.rs:175-198)
+    int64_t last_start = -1;  // read-range start of the last emitted entry
+    const std::string_view cig = a.cigar;
+    size_t p = 0;
+    bool ok = true;
+    while (p < cig.size()) {
+      int64_t num = 0;
+      while (p < cig.size() && cig[p] >= '0' && cig[p] <= '9')
+        num = num * 10 + (cig[p++] - '0');
+      char op = cig[p++];
+      switch (op) {
+        case 'M': case '=': case 'X': {
+          if (num == 0) break;
+          size_t base = w.vbytes.size();
+          w.vbytes.resize(base + (size_t)num);
+          uint8_t* out = w.vbytes.data() + base;
+          const unsigned char* s = (const unsigned char*)seq + i;
+          for (int64_t k = 0; k < num; ++k) {
+            uint8_t b = w.lut8[s[k]];
+            if (b != 255) {
+              out[k] = b;
+            } else {
+              // rare: IUPAC/other byte — intern the uppercased char
+              char up = kUpper[s[k]];
+              int32_t vid = w.interner.char_ids[(unsigned char)up];
+              if (vid < 0) vid = w.interner.intern(std::string(1, up));
+              if (vid < w.interner.n_base && vid < 255) {
+                out[k] = (uint8_t)vid;
+              } else {
+                w.overflow.emplace_back((int64_t)(base + (size_t)k), vid);
+                out[k] = 255;
+              }
+            }
+          }
+          last_start = i + num - 1;
+          i += num;
+          break;
+        }
+        case 'I': {
+          if (num == 0) break;
+          // first op is M/= (end-to-end filter), so an entry exists;
+          // its string widens to seq[last_start .. i+num) uppercased
+          w.tmp_str.assign(seq + last_start,
+                           (size_t)(i + num - last_start));
+          ascii_upper_inplace(w.tmp_str);
+          int32_t vid = w.interner.intern(w.tmp_str);
+          uint8_t& lastb = w.vbytes.back();
+          if (lastb == 255) w.overflow.pop_back();
+          if (vid < w.interner.n_base && vid < 255) {
+            lastb = (uint8_t)vid;
+          } else {
+            w.overflow.emplace_back((int64_t)(w.vbytes.size() - 1), vid);
+            lastb = 255;
+          }
+          i += num;
+          break;
+        }
+        case 'D': {
+          if (num == 0) break;
+          w.vbytes.resize(w.vbytes.size() + (size_t)num, 0);  // '-' votes
+          last_start = i;
+          break;
+        }
+        default:
+          ok = false;
+          w.fail(
+              "unexpected character (other than M, =, X, I or D) in CIGAR "
+              "string for read " + std::string(a.read_name) + ": \"" +
+                  std::string(cig) +
+                  "\" - did you use BWA MEM to generate your alignments?",
+              line_no);
+          break;
+      }
+      if (!ok) return false;
+    }
+    if ((size_t)i != seq_len) {
+      return w.fail("CIGAR string for read " + std::string(a.read_name) +
+                        " does not match read sequence",
+                    line_no);
+    }
+
+    // homopolymer trim on the emitted vid bytes (alignment.rs:364-378):
+    // pop the trailing entries equal to the final entry, then one more.
+    size_t new_count = 0;
+    if (w.vbytes.size() > mark) {
+      size_t ovc = w.overflow.size();
+      size_t j = w.vbytes.size() - 1;
+      int32_t last_vid;
+      if (w.vbytes[j] != 255) {
+        last_vid = w.vbytes[j];
+      } else {
+        --ovc;                       // overflow[ovc].first == j (invariant)
+        last_vid = w.overflow[ovc].second;
+      }
+      while (j > mark) {
+        size_t idx = j - 1;
+        int32_t v;
+        bool is_ov = (w.vbytes[idx] == 255);
+        if (!is_ov) {
+          v = w.vbytes[idx];
+        } else {
+          v = w.overflow[ovc - 1].second;  // .first == idx (descending walk)
+        }
+        if (v != last_vid) break;
+        if (is_ov) --ovc;
+        --j;
+      }
+      new_count = (j > mark) ? (j - mark - 1) : 0;
+      size_t keep_ov = w.overflow.size();
+      while (keep_ov > ov_mark &&
+             w.overflow[keep_ov - 1].first >= (int64_t)(mark + new_count))
+        --keep_ov;
+      w.overflow.resize(keep_ov);
+      w.vbytes.resize(mark + new_count);
+    }
+    if (new_count == 0) continue;
+
+    int64_t end_pos = a.ref_start + (int64_t)new_count;
+    if (end_pos > sh.contig_lens[contig]) {
+      return w.fail("alignment for read " + std::string(a.read_name) +
+                        " extends past the end of contig " +
+                        std::string(a.ref_name),
+                    line_no);
+    }
+    w.run_contig.push_back(contig);
+    w.run_start.push_back((int32_t)a.ref_start);
+    w.run_len.push_back((int32_t)new_count);
+    w.run_k.push_back(n_good);
+  }
+  return true;
+}
+
+template <class W>
+inline bool dispatch_group(W& w, std::vector<Aln>& group, int64_t line_no) {
+  if constexpr (std::is_same_v<W, RunsWorker>)
+    return process_group_runs(w, group, line_no);
+  else
+    return process_group(w, group, line_no);
 }
 
 bool parse_line(WorkerBase& w, const char* line, size_t len, int64_t line_no,
@@ -509,7 +721,7 @@ void run_range(W& w, size_t begin, size_t hard_end,
       current_name = a.read_name;
       group.push_back(std::move(a));
     } else {
-      if (!process_group(w, group, line_no)) return;
+      if (!dispatch_group(w, group, line_no)) return;
       ++res.read_count;
       group.clear();
       current_name = a.read_name;
@@ -517,7 +729,7 @@ void run_range(W& w, size_t begin, size_t hard_end,
     }
   }
   if (!group.empty()) {
-    if (!process_group(w, group, line_no)) return;
+    if (!dispatch_group(w, group, line_no)) return;
     ++res.read_count;
   }
 }
@@ -648,6 +860,7 @@ int run_workers(Shared& sh, std::vector<W>& workers, size_t lo,
     w.interner.n_base = sh.n_base_vocab;
     w.interner.new_strings = &w.new_strings;
     memcpy(w.interner.char_ids, sh.base_char_ids, sizeof(sh.base_char_ids));
+    w.prepare();
   }
 
   std::vector<std::thread> threads;
