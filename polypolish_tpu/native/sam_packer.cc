@@ -33,6 +33,9 @@
 #include <memory>
 #include <string>
 #include <string_view>
+#include <chrono>
+#include <immintrin.h>
+#include <mutex>
 #include <thread>
 #include <type_traits>
 #include <unordered_map>
@@ -933,6 +936,51 @@ struct RunsResult {
   std::vector<int64_t> run_evt_off;  // cumulative event offset per run
   int status = 0;
   std::string error;
+
+  // Runs packed in (contig, start)-sorted order, computed lazily and
+  // cached.  SAM files arrive in read order (effectively random genome
+  // positions), so a stream-order count fold hits a random DRAM cache
+  // line per few events; in sorted order the count windows advance
+  // sequentially and stay L1-hot, and the packed 16-byte records make
+  // the header stream sequential too (the per-run field gathers were
+  // themselves a DRAM miss per run).  Valid because integer vote adds
+  // commute — only depth (separate pass) is order-sensitive.
+  struct SortedRun {
+    int64_t evt_off;
+    int32_t start;
+    int32_t len;
+  };
+  std::vector<SortedRun> sruns;
+  std::vector<std::pair<int64_t, int64_t>> contig_slices;  // [lo,hi) per id
+  std::once_flag sorted_once;
+
+  void prepare_sorted() {
+    std::call_once(sorted_once, [this]() {
+      const size_t n = run_contig.size();
+      std::vector<std::pair<int64_t, int32_t>> keyed(n);
+      int32_t max_c = -1;
+      for (size_t r = 0; r < n; ++r) {
+        keyed[r] = {((int64_t)run_contig[r] << 32) | (uint32_t)run_start[r],
+                    (int32_t)r};
+        max_c = std::max(max_c, run_contig[r]);
+      }
+      std::sort(keyed.begin(), keyed.end());
+      sruns.resize(n);
+      contig_slices.assign((size_t)(max_c + 1), {0, 0});
+      int32_t cur = -1;
+      for (size_t i = 0; i < n; ++i) {
+        int32_t r = keyed[i].second;
+        sruns[i] = {run_evt_off[r], run_start[r], run_len[r]};
+        int32_t c = run_contig[r];
+        if (c != cur) {
+          if (cur >= 0) contig_slices[(size_t)cur].second = (int64_t)i;
+          contig_slices[(size_t)c].first = (int64_t)i;
+          cur = c;
+        }
+      }
+      if (cur >= 0) contig_slices[(size_t)cur].second = (int64_t)n;
+    });
+  }
 };
 
 // Merge one file's workers into the global result.  Bytes < n_base are
@@ -1163,44 +1211,109 @@ struct FoldBuffers {
   std::vector<int32_t> sp_cnt;
 };
 
+// Rare-byte (vocab id >= 8) handler shared by the fold variants: the
+// sparse tier mirrors the reference's HashMap half (pileup.rs:33-40).
+inline void fold_rare_byte(const RunsResult& rr, uint8_t b, int64_t base,
+                           int64_t j, int64_t start,
+                           std::unordered_map<int64_t, int32_t>& sparse) {
+  int32_t vid;
+  if (b == 255) {
+    // overflow entries are ascending by event index; rare — binary
+    // search (the sorted-order walk has no monotone cursor to reuse)
+    size_t p = (size_t)(std::lower_bound(rr.ov_idx.begin(),
+                                         rr.ov_idx.end(), base + j) -
+                        rr.ov_idx.begin());
+    vid = rr.ov_vid[p];
+  } else {
+    vid = b;  // base-vocab sparse id (8..254)
+  }
+  ++sparse[(start + j) * ((int64_t)1 << 31) + vid];
+}
+
 // Dense counts + sparse tier for one contig (order-free integers).
+// Runs are visited in (contig, start)-sorted order so the (8, P) count
+// windows stream sequentially (see RunsResult::sorted_order); within a
+// run an AVX-512 masked-add kernel counts 64 events per iteration
+// (compare each vocab value v against the byte block -> mask -> masked
+// +1 into row v), with a scalar fallback for the tail / non-AVX builds.
 // Accumulates straight into the caller's row-major (8, P) tensor: a
 // position-major staging buffer was measured a wash at Mb scale and
 // costs P*32 bytes of extra first-touch faults (3.2 GB at 100 Mb,
 // where this host's fault service time dominates).
-void fold_counts(const RunsResult& rr, int32_t contig, int64_t P,
+void fold_counts(RunsResult& rr, int32_t contig, int64_t P,
                  int32_t* counts_out, FoldBuffers* fb) {
+  const bool dbg = getenv("POLYPOLISH_TPU_FOLD_DEBUG") != nullptr;
+  auto t0 = std::chrono::steady_clock::now();
   memset(counts_out, 0,
          (size_t)kDenseVNative * (size_t)P * sizeof(int32_t));
+  auto t1 = std::chrono::steady_clock::now();
   std::unordered_map<int64_t, int32_t> sparse;
-  const size_t n_runs = rr.run_contig.size();
-  size_t ov_p = 0;
-  const size_t n_ov = rr.ov_idx.size();
-  for (size_t r = 0; r < n_runs; ++r) {
-    const int64_t base = rr.run_evt_off[r];
-    const int32_t n = rr.run_len[r];
-    if (rr.run_contig[r] != contig) {
-      while (ov_p < n_ov && rr.ov_idx[ov_p] < base + n) ++ov_p;
-      continue;
+  rr.prepare_sorted();
+  auto t2 = std::chrono::steady_clock::now();
+  int64_t lo = 0, hi = 0;
+  if (contig >= 0 && (size_t)contig < rr.contig_slices.size()) {
+    lo = rr.contig_slices[(size_t)contig].first;
+    hi = rr.contig_slices[(size_t)contig].second;
+  }
+  const uint8_t* all_vb = rr.vbytes.data();
+  constexpr int64_t kPF = 10;  // runs ahead to prefetch vbytes for
+  for (int64_t i = lo; i < hi; ++i) {
+    if (i + kPF < hi) {
+      const char* pv = (const char*)(all_vb + rr.sruns[i + kPF].evt_off);
+      _mm_prefetch(pv, _MM_HINT_T0);
+      _mm_prefetch(pv + 64, _MM_HINT_T0);
+      _mm_prefetch(pv + 128, _MM_HINT_T0);
     }
-    const int64_t start = rr.run_start[r];
-    const uint8_t* vb = rr.vbytes.data() + base;
-    for (int32_t j = 0; j < n; ++j) {
+    const RunsResult::SortedRun& sr = rr.sruns[i];
+    const int64_t base = sr.evt_off;
+    const int32_t n = sr.len;
+    const int64_t start = sr.start;
+    const uint8_t* vb = all_vb + base;
+    int32_t j = 0;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+    const __m512i ones32 = _mm512_set1_epi32(1);
+    const __m512i eight8 = _mm512_set1_epi8(8);
+    for (; j + 64 <= n; j += 64) {
+      __m512i bytes = _mm512_loadu_si512((const void*)(vb + j));
+      for (int v = 0; v < kDenseVNative; ++v) {
+        __mmask64 m =
+            _mm512_cmpeq_epi8_mask(bytes, _mm512_set1_epi8((char)v));
+        if (!m) continue;
+        int32_t* rowp =
+            counts_out + (size_t)v * (size_t)P + (size_t)(start + j);
+        for (int q = 0; q < 4; ++q) {
+          __mmask16 mq = (__mmask16)(m >> (16 * q));
+          if (!mq) continue;
+          __m512i c = _mm512_loadu_si512((const void*)(rowp + 16 * q));
+          c = _mm512_mask_add_epi32(c, mq, c, ones32);
+          _mm512_storeu_si512((void*)(rowp + 16 * q), c);
+        }
+      }
+      __mmask64 rare = _mm512_cmpge_epu8_mask(bytes, eight8);
+      while (rare) {
+        int k = (int)_tzcnt_u64((uint64_t)rare);
+        rare &= rare - 1;
+        fold_rare_byte(rr, vb[j + k], base, j + k, start, sparse);
+      }
+    }
+#endif
+    for (; j < n; ++j) {
       uint8_t b = vb[j];
       if (b < kDenseVNative) {
         ++counts_out[(size_t)b * (size_t)P + (size_t)(start + j)];
       } else {
-        int32_t vid;
-        if (b == 255) {
-          while (ov_p < n_ov && rr.ov_idx[ov_p] < base + j) ++ov_p;
-          vid = rr.ov_vid[ov_p];
-          ++ov_p;
-        } else {
-          vid = b;  // base-vocab sparse id (8..254)
-        }
-        ++sparse[(start + j) * ((int64_t)1 << 31) + vid];
+        fold_rare_byte(rr, b, base, j, start, sparse);
       }
     }
+  }
+  if (dbg) {
+    auto t3 = std::chrono::steady_clock::now();
+    auto ms = [](auto a, auto b) {
+      return std::chrono::duration<double>(b - a).count() * 1e3;
+    };
+    fprintf(stderr,
+            "[fold_counts] memset %.1fms sort %.1fms walk %.1fms\n",
+            ms(t0, t1), ms(t1, t2), ms(t2, t3));
   }
   fb->sp_pos.reserve(sparse.size());
   fb->sp_vid.reserve(sparse.size());
