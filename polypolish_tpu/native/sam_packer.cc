@@ -591,27 +591,81 @@ inline bool dispatch_group(W& w, std::vector<Aln>& group, int64_t line_no) {
     return process_group(w, group, line_no);
 }
 
-bool parse_line(WorkerBase& w, const char* line, size_t len, int64_t line_no,
-                Aln& a) {
-  const char* fields[256];
-  size_t flens[256];
+// Split one line into tab-separated fields AND find its end in a
+// single pass (each 64-byte load serves both the field splitter and
+// the newline search — the old per-field memchr loop paid a call +
+// setup per short field, ~13x per SAM line).  Returns the line length
+// excluding the newline and any trailing '\r'; *advance = bytes to the
+// next line start.  Non-AVX builds fall back to memchr.
+size_t scan_line(const char* p, size_t avail, const char* fields[],
+                 size_t flens[], int* nf_out, size_t* advance) {
   int nf = 0;
-  const char* start = line;
-  const char* end = line + len;
-  while (nf < 256) {  // memchr beats a byte loop on 150+-char SEQ/QUAL
-    const char* q =
-        (const char*)memchr(start, '\t', (size_t)(end - start));
-    if (!q) {
-      fields[nf] = start;
-      flens[nf] = (size_t)(end - start);
-      ++nf;
-      break;
+  size_t field_start = 0;
+  size_t llen = avail;
+  bool found_nl = false;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+  const __m512i tab = _mm512_set1_epi8('\t');
+  const __m512i nlc = _mm512_set1_epi8('\n');
+  size_t off = 0;
+  while (off < avail && !found_nl) {
+    __m512i v;
+    uint64_t valid = ~0ull;
+    const size_t chunk = avail - off;
+    if (chunk >= 64) {
+      v = _mm512_loadu_si512((const void*)(p + off));
+    } else {
+      valid = (~0ull) >> (64 - chunk);
+      v = _mm512_maskz_loadu_epi8((__mmask64)valid, (const void*)(p + off));
     }
-    fields[nf] = start;
-    flens[nf] = (size_t)(q - start);
-    ++nf;
-    start = q + 1;
+    uint64_t tm = (uint64_t)_mm512_cmpeq_epi8_mask(v, tab) & valid;
+    uint64_t nm = (uint64_t)_mm512_cmpeq_epi8_mask(v, nlc) & valid;
+    if (nm) {
+      const size_t nl_off = (size_t)_tzcnt_u64(nm);
+      llen = off + nl_off;
+      found_nl = true;
+      tm &= ((nl_off == 0) ? 0ull : ((~0ull) >> (64 - nl_off)));
+    }
+    while (tm && nf < 255) {
+      const size_t t = off + (size_t)_tzcnt_u64(tm);
+      tm &= tm - 1;
+      fields[nf] = p + field_start;
+      flens[nf] = t - field_start;
+      ++nf;
+      field_start = t + 1;
+    }
+    off += 64;
   }
+#else
+  const char* nl = (const char*)memchr(p, '\n', avail);
+  if (nl) {
+    llen = (size_t)(nl - p);
+    found_nl = true;
+  }
+  {
+    const char* s = p;
+    const char* end = p + llen;
+    while (nf < 255) {
+      const char* q = (const char*)memchr(s, '\t', (size_t)(end - s));
+      if (!q) break;
+      fields[nf] = s;
+      flens[nf] = (size_t)(q - s);
+      ++nf;
+      s = q + 1;
+    }
+    field_start = (size_t)(s - p);
+  }
+#endif
+  *advance = found_nl ? llen + 1 : avail;
+  if (llen > 0 && p[llen - 1] == '\r') --llen;
+  fields[nf] = p + field_start;
+  flens[nf] = llen > field_start ? llen - field_start : 0;
+  ++nf;
+  *nf_out = nf;
+  return llen;
+}
+
+bool fill_aln(WorkerBase& w, const char* const fields[],
+              const size_t flens[], int nf, int64_t line_no, Aln& a) {
   if (nf < 11) {
     return w.fail("too few columns in \"" + w.sh->filename + "\" (line " +
                       std::to_string(line_no) + ")",
@@ -690,21 +744,23 @@ void run_range(W& w, size_t begin, size_t hard_end,
   int64_t line_no = start_line_no;
   size_t off = begin;
 
+  const char* fields[256];
+  size_t flens[256];
   while (off < data.size()) {
     if (off >= hard_end && group.empty()) break;
-    size_t nl = data.find('\n', off);
-    if (nl == std::string_view::npos) nl = data.size();
-    size_t llen = nl - off;
-    if (llen > 0 && data[off + llen - 1] == '\r') --llen;
+    int nf;
+    size_t advance;
+    size_t llen = scan_line(data.data() + off, data.size() - off, fields,
+                            flens, &nf, &advance);
     ++line_no;
     const char* line = data.data() + off;
     size_t line_start = off;
-    off = nl + 1;
+    off += advance;
     if (llen == 0) continue;
     if (line[0] == '@') continue;
 
     Aln a;
-    if (!parse_line(w, line, llen, line_no, a)) return;
+    if (!fill_aln(w, fields, flens, nf, line_no, a)) return;
     if (!a.aligned()) continue;
 
     if (skipping) {
