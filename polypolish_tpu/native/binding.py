@@ -247,6 +247,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.pp_free_runs.argtypes = [ctypes.POINTER(_PPRunsView)]
         lib.pp_free_runs.restype = None
+        lib.pp_madvise_huge.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.pp_madvise_huge.restype = None
         lib.pp_fold_contig.restype = ctypes.POINTER(_PPFoldView)
         lib.pp_fold_contig.argtypes = [
             ctypes.POINTER(_PPRunsView),
@@ -479,6 +481,19 @@ def consensus_dense_native(counts, valid_thr, invalid_thr, low_depth,
         n_threads,
     )
     return new_id, status
+
+
+def madvise_huge_np(*arrays) -> None:
+    """Request transparent huge pages for freshly allocated numpy
+    buffers BEFORE first touch (THP runs in madvise mode on the target
+    hosts, whose 4 KB minor-fault service time is pathologically slow —
+    a 147 MB first touch cost ~15 s).  No-op without the native lib."""
+    lib = load_library()
+    if lib is None:
+        return
+    for a in arrays:
+        if a is not None and a.nbytes >= (4 << 20):
+            lib.pp_madvise_huge(ctypes.c_void_p(a.ctypes.data), a.nbytes)
 
 
 def _transfer_safe(s: str) -> str:

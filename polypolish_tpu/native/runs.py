@@ -86,11 +86,14 @@ class ParsedRuns:
         returns a 4th element (valid_thr i32, invalid_thr i32,
         low_depth bool) computed in the same C++ pass as depth
         (bit-identical to ops.consensus.compute_thresholds)."""
+        from polypolish_tpu.native import binding
+
         cid = self.contig_names.index(contig_name)
         P = self.contig_lens[contig_name]
         depth = np.empty(P, dtype=np.float64)
         counts = np.empty((DENSE_V, P), dtype=np.int32) if want_counts \
             else None
+        binding.madvise_huge_np(depth, counts)
         if thresholds is not None:
             min_depth, f_valid, f_invalid = thresholds
             valid = np.empty(P, dtype=np.int32)

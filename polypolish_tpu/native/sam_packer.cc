@@ -73,6 +73,19 @@ struct Aln {
   bool forward() const { return (flags & 16) == 0; }
 };
 
+// Ask the kernel for transparent huge pages on a large anonymous
+// buffer (THP runs in madvise mode on the target hosts, where the
+// 4 KB minor-fault service time is pathologically slow — a 147 MB
+// first touch cost ~15 s; 2 MB pages cut the fault count 512x).
+void madvise_huge(void* p, size_t n) {
+#ifdef MADV_HUGEPAGE
+  if (!p || n < (4u << 20)) return;
+  uintptr_t a = ((uintptr_t)p + 4095) & ~(uintptr_t)4095;
+  uintptr_t e = ((uintptr_t)p + n) & ~(uintptr_t)4095;
+  if (e > a) madvise((void*)a, (size_t)(e - a), MADV_HUGEPAGE);
+#endif
+}
+
 char kRevComp[256];
 char kUpper[256];
 
@@ -468,6 +481,46 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
           w.vbytes.resize(base + (size_t)num);
           uint8_t* out = w.vbytes.data() + base;
           const unsigned char* s = (const unsigned char*)seq + i;
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+          // 64 seq bytes -> 64 vocab bytes per iteration: the 256-entry
+          // LUT lives in 4 zmm registers; two vpermi2b cover the low/
+          // high 128 entries, blended on the index sign bit.  Lanes
+          // that map to the 255 sentinel (rare non-base chars) fall to
+          // the scalar intern path, ascending so overflow stays sorted.
+          const __m512i T0 = _mm512_loadu_si512((const void*)w.lut8);
+          const __m512i T1 = _mm512_loadu_si512((const void*)(w.lut8 + 64));
+          const __m512i T2 =
+              _mm512_loadu_si512((const void*)(w.lut8 + 128));
+          const __m512i T3 =
+              _mm512_loadu_si512((const void*)(w.lut8 + 192));
+          const __m512i sent = _mm512_set1_epi8((char)255);
+          for (int64_t k = 0; k < num; k += 64) {
+            const uint64_t valid =
+                (num - k >= 64) ? ~0ull : ((~0ull) >> (64 - (num - k)));
+            __m512i b = _mm512_maskz_loadu_epi8((__mmask64)valid,
+                                                (const void*)(s + k));
+            __m512i lo = _mm512_permutex2var_epi8(T0, b, T1);
+            __m512i hi2 = _mm512_permutex2var_epi8(T2, b, T3);
+            __m512i r = _mm512_mask_blend_epi8(_mm512_movepi8_mask(b),
+                                               lo, hi2);
+            _mm512_mask_storeu_epi8((void*)(out + k), (__mmask64)valid, r);
+            uint64_t rare =
+                (uint64_t)_mm512_cmpeq_epi8_mask(r, sent) & valid;
+            while (rare) {
+              const int64_t kk = k + (int64_t)_tzcnt_u64(rare);
+              rare &= rare - 1;
+              char up = kUpper[s[kk]];
+              int32_t vid = w.interner.char_ids[(unsigned char)up];
+              if (vid < 0) vid = w.interner.intern(std::string(1, up));
+              if (vid < w.interner.n_base && vid < 255) {
+                out[kk] = (uint8_t)vid;
+              } else {
+                w.overflow.emplace_back((int64_t)(base + (size_t)kk), vid);
+                out[kk] = 255;
+              }
+            }
+          }
+#else
           for (int64_t k = 0; k < num; ++k) {
             uint8_t b = w.lut8[s[k]];
             if (b != 255) {
@@ -485,6 +538,7 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
               }
             }
           }
+#endif
           last_start = i + num - 1;
           i += num;
           break;
@@ -1009,11 +1063,15 @@ struct RunsResult {
   std::vector<SortedRun> sruns;
   std::vector<std::pair<int64_t, int64_t>> contig_slices;  // [lo,hi) per id
   std::once_flag sorted_once;
+  std::thread sort_thread;   // background prepare_sorted; joined at free
 
   void prepare_sorted() {
     std::call_once(sorted_once, [this]() {
       const size_t n = run_contig.size();
-      std::vector<std::pair<int64_t, int32_t>> keyed(n);
+      std::vector<std::pair<int64_t, int32_t>> keyed;
+      keyed.reserve(n);
+      madvise_huge(keyed.data(), n * sizeof(keyed[0]));
+      keyed.resize(n);
       int32_t max_c = -1;
       for (size_t r = 0; r < n; ++r) {
         keyed[r] = {((int64_t)run_contig[r] << 32) | (uint32_t)run_start[r],
@@ -1021,6 +1079,8 @@ struct RunsResult {
         max_c = std::max(max_c, run_contig[r]);
       }
       std::sort(keyed.begin(), keyed.end());
+      sruns.reserve(n);
+      madvise_huge(sruns.data(), n * sizeof(SortedRun));
       sruns.resize(n);
       contig_slices.assign((size_t)(max_c + 1), {0, 0});
       int32_t cur = -1;
@@ -1058,6 +1118,7 @@ void merge_runs(RunsResult* out, std::vector<RunsWorker>& workers,
   out->run_len.reserve(out->run_len.size() + add_runs);
   out->run_k.reserve(out->run_k.size() + add_runs);
   out->vbytes.reserve(out->vbytes.size() + add_bytes);
+  madvise_huge(out->vbytes.data(), out->vbytes.capacity());
   out->ov_idx.reserve(out->ov_idx.size() + add_ov);
   out->ov_vid.reserve(out->ov_vid.size() + add_ov);
 
@@ -1173,6 +1234,22 @@ int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
 
     int nt = clamp_threads(hi - lo, n_threads);
     std::vector<RunsWorker> workers((size_t)nt);
+    {
+      // reserve to the workload's shape: repeated doubling of the
+      // ~100 MB/thread vocab-byte buffers copied hundreds of MB and
+      // re-faulted fresh pages on this host (events ~ bytes * 0.45,
+      // one run per ~300-byte SAM line; overshoot is only VA space)
+      const size_t per_range = (hi - lo) / (size_t)nt + 4096;
+      const size_t nruns = per_range / 200 + 64;
+      for (auto& w : workers) {
+        w.vbytes.reserve(per_range / 2 + 256);
+        madvise_huge(w.vbytes.data(), w.vbytes.capacity());
+        w.run_contig.reserve(nruns);
+        w.run_start.reserve(nruns);
+        w.run_len.reserve(nruns);
+        w.run_k.reserve(nruns);
+      }
+    }
     size_t runs_before = out->run_contig.size();
     size_t events_before = out->vbytes.size();
     int bad = run_workers(sh, workers, lo, hi);
@@ -2265,6 +2342,12 @@ PPRunsView* pp_parse_runs(const char* filenames, int64_t n_files,
 
   parse_runs_impl(rr, filenames, n_files, sh, n_threads, proc_idx,
                   n_procs);
+  if (rr->status == 0 && !rr->run_contig.empty()) {
+    // start the fold's sorted-run pack now: it overlaps the host-side
+    // vocab sync / stats / logging between parse and first fold
+    // (call_once makes the fold block until it completes)
+    rr->sort_thread = std::thread([rr]() { rr->prepare_sorted(); });
+  }
 
   view->run_contig = rr->run_contig.data();
   view->run_start = rr->run_start.data();
@@ -2290,9 +2373,13 @@ PPRunsView* pp_parse_runs(const char* filenames, int64_t n_files,
   return view;
 }
 
+void pp_madvise_huge(void* p, int64_t n) { madvise_huge(p, (size_t)n); }
+
 void pp_free_runs(PPRunsView* view) {
   if (!view) return;
-  delete static_cast<RunsResult*>(view->handle);
+  auto* rr = static_cast<RunsResult*>(view->handle);
+  if (rr->sort_thread.joinable()) rr->sort_thread.join();
+  delete rr;
   delete view;
 }
 
