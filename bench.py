@@ -16,7 +16,7 @@ FASTA is asserted byte-identical between them on every run.
 SECONDARY (--kernel): isolated Pallas vote-kernel throughput in
 M votes/s (pileup.rs:56-65 analog) with --variant/--sweep/--ab knobs.
 
-Run:  python bench.py [--genome-mb 4.6] [--coverage 50] [--runs 3]
+Run:  python bench.py [--genome-mb 4.6] [--coverage 50] [--runs 7]
       python bench.py --backend host|pallas|xla   # force one backend
       python bench.py --kernel [--variant unfused|fused|split] [--sweep]
 """
@@ -391,8 +391,8 @@ def main():
     ap.add_argument("--repeat-len", type=int, default=20_000)
     ap.add_argument("--repeat-copies", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--baseline-runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=7)
+    ap.add_argument("--baseline-runs", type=int, default=3)
     ap.add_argument("--backend", default=None,
                     choices=(None, "host", "pallas", "xla"))
     # kernel knobs

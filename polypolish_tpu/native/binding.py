@@ -249,6 +249,10 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pp_free_runs.restype = None
         lib.pp_madvise_huge.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.pp_madvise_huge.restype = None
+        lib.pp_sum_f64_seq.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ]
+        lib.pp_sum_f64_seq.restype = ctypes.c_double
         lib.pp_fold_contig.restype = ctypes.POINTER(_PPFoldView)
         lib.pp_fold_contig.argtypes = [
             ctypes.POINTER(_PPRunsView),
@@ -481,6 +485,23 @@ def consensus_dense_native(counts, valid_thr, invalid_thr, low_depth,
         n_threads,
     )
     return new_id, status
+
+
+def sum_f64_seq(arr) -> float:
+    """Strict sequential left-fold sum of a float64 array — bit-equal
+    to float(np.cumsum(arr)[-1]) without the 8*P temporary.  Falls back
+    to numpy when the native lib is unavailable."""
+    import numpy as _np
+
+    arr = _np.ascontiguousarray(arr, dtype=_np.float64)
+    if arr.size == 0:
+        return 0.0
+    lib = load_library()
+    if lib is None:
+        return float(_np.cumsum(arr)[-1])
+    return float(lib.pp_sum_f64_seq(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), arr.size
+    ))
 
 
 def madvise_huge_np(*arrays) -> None:

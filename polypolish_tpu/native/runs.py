@@ -99,6 +99,7 @@ class ParsedRuns:
             valid = np.empty(P, dtype=np.int32)
             invalid = np.empty(P, dtype=np.int32)
             low = np.empty(P, dtype=np.uint8)
+            binding.madvise_huge_np(valid, invalid, low)
             thr_args = (
                 int(min_depth), float(f_valid), float(f_invalid),
                 valid.ctypes.data_as(ctypes.c_void_p),

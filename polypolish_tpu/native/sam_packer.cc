@@ -1062,6 +1062,7 @@ struct RunsResult {
   };
   std::vector<SortedRun> sruns;
   std::vector<std::pair<int64_t, int64_t>> contig_slices;  // [lo,hi) per id
+  int32_t max_run_len = 0;
   std::once_flag sorted_once;
   std::thread sort_thread;   // background prepare_sorted; joined at free
 
@@ -1087,6 +1088,7 @@ struct RunsResult {
       for (size_t i = 0; i < n; ++i) {
         int32_t r = keyed[i].second;
         sruns[i] = {run_evt_off[r], run_start[r], run_len[r]};
+        max_run_len = std::max(max_run_len, run_len[r]);
         int32_t c = run_contig[r];
         if (c != cur) {
           if (cur >= 0) contig_slices[(size_t)cur].second = (int64_t)i;
@@ -1373,21 +1375,32 @@ inline void fold_rare_byte(const RunsResult& rr, uint8_t b, int64_t base,
 // position-major staging buffer was measured a wash at Mb scale and
 // costs P*32 bytes of extra first-touch faults (3.2 GB at 100 Mb,
 // where this host's fault service time dominates).
-void fold_counts(RunsResult& rr, int32_t contig, int64_t P,
-                 int32_t* counts_out, FoldBuffers* fb) {
-  const bool dbg = getenv("POLYPOLISH_TPU_FOLD_DEBUG") != nullptr;
-  auto t0 = std::chrono::steady_clock::now();
-  memset(counts_out, 0,
-         (size_t)kDenseVNative * (size_t)P * sizeof(int32_t));
-  auto t1 = std::chrono::steady_clock::now();
-  std::unordered_map<int64_t, int32_t> sparse;
+// Range-clipped half of fold_counts: accumulates the events landing in
+// positions [pos_lo, pos_hi) only.  Clipping an alignment's event range
+// by position is exact — each position's votes are handled by exactly
+// one caller, so two threads on disjoint ranges partition the work
+// without atomics.  The caller zeroes each row slice first.
+void fold_counts_range(RunsResult& rr, int32_t contig, int64_t P,
+                       int64_t pos_lo, int64_t pos_hi,
+                       int32_t* counts_out,
+                       std::unordered_map<int64_t, int32_t>& sparse) {
+  for (int v = 0; v < kDenseVNative; ++v)
+    memset(counts_out + (size_t)v * (size_t)P + (size_t)pos_lo, 0,
+           (size_t)(pos_hi - pos_lo) * sizeof(int32_t));
   rr.prepare_sorted();
-  auto t2 = std::chrono::steady_clock::now();
   int64_t lo = 0, hi = 0;
   if (contig >= 0 && (size_t)contig < rr.contig_slices.size()) {
     lo = rr.contig_slices[(size_t)contig].first;
     hi = rr.contig_slices[(size_t)contig].second;
   }
+  // first sorted run that can still reach pos_lo
+  const int64_t min_start = pos_lo - (int64_t)rr.max_run_len;
+  lo = std::lower_bound(rr.sruns.begin() + lo, rr.sruns.begin() + hi,
+                        min_start,
+                        [](const RunsResult::SortedRun& s, int64_t v) {
+                          return (int64_t)s.start < v;
+                        }) -
+       rr.sruns.begin();
   const uint8_t* all_vb = rr.vbytes.data();
   constexpr int64_t kPF = 10;  // runs ahead to prefetch vbytes for
   for (int64_t i = lo; i < hi; ++i) {
@@ -1398,9 +1411,16 @@ void fold_counts(RunsResult& rr, int32_t contig, int64_t P,
       _mm_prefetch(pv + 128, _MM_HINT_T0);
     }
     const RunsResult::SortedRun& sr = rr.sruns[i];
-    const int64_t base = sr.evt_off;
-    const int32_t n = sr.len;
-    const int64_t start = sr.start;
+    if ((int64_t)sr.start >= pos_hi) break;  // sorted: nothing later hits
+    // clip this run's events to [pos_lo, pos_hi)
+    const int32_t clip_lo =
+        (int32_t)std::max<int64_t>(0, pos_lo - (int64_t)sr.start);
+    const int32_t clip_hi = (int32_t)std::min<int64_t>(
+        (int64_t)sr.len, pos_hi - (int64_t)sr.start);
+    if (clip_lo >= clip_hi) continue;
+    const int64_t base = sr.evt_off + clip_lo;
+    const int32_t n = clip_hi - clip_lo;
+    const int64_t start = (int64_t)sr.start + clip_lo;
     const uint8_t* vb = all_vb + base;
     int32_t j = 0;
 #if defined(__AVX512F__) && defined(__AVX512BW__)
@@ -1439,18 +1459,13 @@ void fold_counts(RunsResult& rr, int32_t contig, int64_t P,
       }
     }
   }
-  if (dbg) {
-    auto t3 = std::chrono::steady_clock::now();
-    auto ms = [](auto a, auto b) {
-      return std::chrono::duration<double>(b - a).count() * 1e3;
-    };
-    fprintf(stderr,
-            "[fold_counts] memset %.1fms sort %.1fms walk %.1fms\n",
-            ms(t0, t1), ms(t1, t2), ms(t2, t3));
-  }
-  fb->sp_pos.reserve(sparse.size());
-  fb->sp_vid.reserve(sparse.size());
-  fb->sp_cnt.reserve(sparse.size());
+}
+
+// Append one sparse map's entries to the FoldBuffers in ascending key
+// order.  Position-disjoint maps appended low-range-first keep the
+// whole triple list ascending (keys are position-major).
+void sparse_to_buffers(const std::unordered_map<int64_t, int32_t>& sparse,
+                       FoldBuffers* fb) {
   std::vector<int64_t> keys;
   keys.reserve(sparse.size());
   for (auto& [k, v] : sparse) keys.push_back(k);
@@ -1458,8 +1473,15 @@ void fold_counts(RunsResult& rr, int32_t contig, int64_t P,
   for (int64_t k : keys) {
     fb->sp_pos.push_back(k >> 31);
     fb->sp_vid.push_back((int32_t)(k & (((int64_t)1 << 31) - 1)));
-    fb->sp_cnt.push_back(sparse[k]);
+    fb->sp_cnt.push_back(sparse.at(k));
   }
+}
+
+void fold_counts(RunsResult& rr, int32_t contig, int64_t P,
+                 int32_t* counts_out, FoldBuffers* fb) {
+  std::unordered_map<int64_t, int32_t> sparse;
+  fold_counts_range(rr, contig, P, 0, P, counts_out, sparse);
+  sparse_to_buffers(sparse, fb);
 }
 
 }  // namespace
@@ -2375,6 +2397,16 @@ PPRunsView* pp_parse_runs(const char* filenames, int64_t n_files,
 
 void pp_madvise_huge(void* p, int64_t n) { madvise_huge(p, (size_t)n); }
 
+// Strict left-to-right f64 sum (the reference adds per-base depths one
+// at a time in position order, polish.rs:177; np.sum's pairwise tree
+// would differ in the last bits, and np.cumsum materialises an 8*P
+// temporary just to read its last element).
+double pp_sum_f64_seq(const double* x, int64_t n) {
+  double s = 0.0;
+  for (int64_t i = 0; i < n; ++i) s += x[i];
+  return s;
+}
+
 void pp_free_runs(PPRunsView* view) {
   if (!view) return;
   auto* rr = static_cast<RunsResult*>(view->handle);
@@ -2415,9 +2447,22 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
                             low_out);
   };
   if (counts_out && parallel) {
-    std::thread td(depth_and_thresholds);
-    fold_counts(*rr, contig, P, counts_out, fb);
+    // Two threads: A walks counts over the head position range while B
+    // does the stream-order depth (+ thresholds), then picks up the
+    // tail counts range.  Position-disjoint clipping partitions the
+    // integer adds exactly; the split leaves B the smaller share to
+    // cover its depth pass.  Sparse maps merge low-range-first so the
+    // triples stay ascending.
+    const int64_t mid = (P * 7) / 10;
+    std::unordered_map<int64_t, int32_t> sp_a, sp_b;
+    std::thread td([&]() {
+      depth_and_thresholds();
+      fold_counts_range(*rr, contig, P, mid, P, counts_out, sp_b);
+    });
+    fold_counts_range(*rr, contig, P, 0, mid, counts_out, sp_a);
     td.join();
+    sparse_to_buffers(sp_a, fb);
+    sparse_to_buffers(sp_b, fb);
   } else {
     depth_and_thresholds();
     if (counts_out) fold_counts(*rr, contig, P, counts_out, fb);

@@ -493,9 +493,17 @@ def finish_sequence(
 
     # Sequential left-fold, not np.sum (pairwise): the reference adds
     # per-base depths one at a time in position order (polish.rs:177) and
-    # f64 addition is order-sensitive — np.add.accumulate is a strict
-    # sequential scan, so its last element is the exact left-fold.
-    total_depth = float(np.cumsum(depth)[-1]) if len(depth) else 0.0
+    # f64 addition is order-sensitive.  The native helper is a strict
+    # sequential scan; np.cumsum's last element is the same exact
+    # left-fold (used for --pure-python or when the lib is unavailable).
+    if len(depth) == 0:
+        total_depth = 0.0
+    elif use_native:
+        from polypolish_tpu.native import binding as _binding
+
+        total_depth = _binding.sum_f64_seq(depth)
+    else:
+        total_depth = float(np.cumsum(depth)[-1])
     zero_depth_count = int(np.count_nonzero(depth == 0.0))
     changed_count = int(np.count_nonzero(status == ST_CHANGED))
     print_polishing_info(
