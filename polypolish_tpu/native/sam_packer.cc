@@ -1299,7 +1299,15 @@ void fold_depth(const RunsResult& rr, int32_t contig, int64_t P,
                 double* depth_out) {
   memset(depth_out, 0, (size_t)P * sizeof(double));
   const size_t n_runs = rr.run_contig.size();
+  constexpr size_t kPF = 8;  // stream order hits a random depth window
   for (size_t r = 0; r < n_runs; ++r) {
+    if (r + kPF < n_runs && rr.run_contig[r + kPF] == contig) {
+      const char* pd = (const char*)(depth_out + rr.run_start[r + kPF]);
+      _mm_prefetch(pd, _MM_HINT_T0);
+      _mm_prefetch(pd + 64, _MM_HINT_T0);
+      _mm_prefetch(pd + 128, _MM_HINT_T0);
+      _mm_prefetch(pd + 192, _MM_HINT_T0);
+    }
     if (rr.run_contig[r] != contig) continue;
     const double w = 1.0 / (double)rr.run_k[r];
     double* d = depth_out + rr.run_start[r];
@@ -2453,7 +2461,7 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
     // integer adds exactly; the split leaves B the smaller share to
     // cover its depth pass.  Sparse maps merge low-range-first so the
     // triples stay ascending.
-    const int64_t mid = (P * 7) / 10;
+    const int64_t mid = (P * 6) / 10;
     std::unordered_map<int64_t, int32_t> sp_a, sp_b;
     std::thread td([&]() {
       depth_and_thresholds();
@@ -2491,6 +2499,69 @@ void pp_consensus_dense(const int32_t* counts, const int32_t* valid_thr,
                         int32_t* new_id, int32_t* status,
                         int32_t n_threads) {
   const int64_t BLK = 4096;
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+  // 16 positions per iteration: per vocab value v, compare its count
+  // lane-wise against the two thresholds and accumulate int8
+  // n_valid/n_inter + first-valid id under masks, then make the 5-way
+  // status decision with mask moves.  Semantics identical to the
+  // scalar path below, including the reference's count-0 ACGT
+  // participation quirk (pileup.rs:77-99: A/C/G/T counters join the
+  // threshold comparison even at zero; everything else needs c > 0).
+  auto do_range = [&](int64_t p_lo, int64_t p_hi) {
+    const __m512i zero32 = _mm512_setzero_si512();
+    const __m128i zero8 = _mm_setzero_si128();
+    const __m128i one8 = _mm_set1_epi8(1);
+    for (int64_t i0 = p_lo; i0 < p_hi; i0 += 16) {
+      const __mmask16 lm =
+          (p_hi - i0 >= 16) ? (__mmask16)0xFFFF
+                            : (__mmask16)((1u << (p_hi - i0)) - 1);
+      const __m512i vt =
+          _mm512_maskz_loadu_epi32(lm, (const void*)(valid_thr + i0));
+      const __m512i it =
+          _mm512_maskz_loadu_epi32(lm, (const void*)(invalid_thr + i0));
+      __m128i nv = zero8, ni = zero8, fv = zero8;
+      __mmask16 found = 0;
+      for (int v = 0; v < kDenseVNative; ++v) {
+        const __m512i c = _mm512_maskz_loadu_epi32(
+            lm, (const void*)(counts + (size_t)v * (size_t)P + i0));
+        __mmask16 active = lm;
+        if (!(v >= 1 && v <= 4))
+          active &= _mm512_cmpgt_epi32_mask(c, zero32);
+        const __mmask16 mv =
+            active & _mm512_cmpge_epi32_mask(c, vt);
+        const __mmask16 mi =
+            active & (__mmask16)~mv & _mm512_cmpge_epi32_mask(c, it);
+        fv = _mm_mask_mov_epi8(fv, (__mmask16)(mv & (__mmask16)~found),
+                               _mm_set1_epi8((char)v));
+        found |= mv;
+        nv = _mm_mask_add_epi8(nv, mv, nv, one8);
+        ni = _mm_mask_add_epi8(ni, mi, ni, one8);
+      }
+      const __m512i orig =
+          _mm512_maskz_loadu_epi32(lm, (const void*)(orig_id + i0));
+      const __m128i lw = _mm_maskz_loadu_epi8(lm, (const void*)(low + i0));
+      const __mmask16 lowk = _mm_test_epi8_mask(lw, lw) & lm;
+      const __mmask16 knv1 = _mm_cmpeq_epi8_mask(nv, one8) & lm;
+      const __mmask16 knv0 = _mm_cmpeq_epi8_mask(nv, zero8) & lm;
+      const __mmask16 kni0 = _mm_cmpeq_epi8_mask(ni, zero8) & lm;
+      const __mmask16 adopt = knv1 & kni0 & (__mmask16)~lowk;
+      const __m512i fv32 = _mm512_cvtepi8_epi32(fv);
+      const __m512i nid = _mm512_mask_mov_epi32(orig, adopt, fv32);
+      const __mmask16 changed =
+          adopt & _mm512_cmpneq_epi32_mask(nid, orig);
+      __m512i st = _mm512_set1_epi32(4);                       // multiple
+      st = _mm512_mask_mov_epi32(st, knv0, _mm512_set1_epi32(3));  // none
+      st = _mm512_mask_mov_epi32(st, knv1 & (__mmask16)~kni0,
+                                 _mm512_set1_epi32(5));    // too_close
+      st = _mm512_mask_mov_epi32(st, adopt, zero32);           // kept
+      st = _mm512_mask_mov_epi32(st, changed,
+                                 _mm512_set1_epi32(1));      // changed
+      st = _mm512_mask_mov_epi32(st, lowk, _mm512_set1_epi32(2));
+      _mm512_mask_storeu_epi32((void*)(new_id + i0), lm, nid);
+      _mm512_mask_storeu_epi32((void*)(status + i0), lm, st);
+    }
+  };
+#else
   auto do_range = [&](int64_t p_lo, int64_t p_hi) {
     int8_t n_valid[BLK], n_inter[BLK], first_valid[BLK];
     for (int64_t b0 = p_lo; b0 < p_hi; b0 += BLK) {
@@ -2535,6 +2606,7 @@ void pp_consensus_dense(const int32_t* counts, const int32_t* valid_thr,
       }
     }
   };
+#endif
   int T = n_threads > 1 && P > (1 << 18) ? 2 : 1;
   if (T == 1) {
     do_range(0, P);
