@@ -32,6 +32,32 @@ def _as_np(ptr, n, dtype):
     return np.ctypeslib.as_array(ptr, shape=(int(n),))
 
 
+import threading as _threading
+
+_tls = _threading.local()
+
+
+def _pooled_buffer(key, shape, dtype) -> np.ndarray:
+    """Thread-local reusable output buffer (THP-madvised on first
+    allocation).  Every fold fully rewrites these arrays, and within one
+    thread a contig's arrays are consumed (consensus + FASTA/TSV write)
+    before the next fold of the same shape starts, so reuse is safe —
+    and a long-lived service avoids re-faulting ~350 MB per genome on
+    hosts with pathological minor-fault service times.  Thread-local
+    storage keeps batch-mode worker threads isolated."""
+    from polypolish_tpu.native import binding
+
+    pool = getattr(_tls, "pool", None)
+    if pool is None:
+        pool = _tls.pool = {}
+    buf = pool.get(key)
+    if buf is None or buf.shape != shape:
+        buf = np.empty(shape, dtype=dtype)
+        binding.madvise_huge_np(buf)
+        pool[key] = buf
+    return buf
+
+
 class ParsedRuns:
     """Owns a PPRunsView; exposes per-contig fold/chunks/events."""
 
@@ -90,16 +116,14 @@ class ParsedRuns:
 
         cid = self.contig_names.index(contig_name)
         P = self.contig_lens[contig_name]
-        depth = np.empty(P, dtype=np.float64)
-        counts = np.empty((DENSE_V, P), dtype=np.int32) if want_counts \
-            else None
-        binding.madvise_huge_np(depth, counts)
+        depth = _pooled_buffer("depth", (P,), np.float64)
+        counts = _pooled_buffer("counts", (DENSE_V, P), np.int32) \
+            if want_counts else None
         if thresholds is not None:
             min_depth, f_valid, f_invalid = thresholds
-            valid = np.empty(P, dtype=np.int32)
-            invalid = np.empty(P, dtype=np.int32)
-            low = np.empty(P, dtype=np.uint8)
-            binding.madvise_huge_np(valid, invalid, low)
+            valid = _pooled_buffer("valid", (P,), np.int32)
+            invalid = _pooled_buffer("invalid", (P,), np.int32)
+            low = _pooled_buffer("low", (P,), np.uint8)
             thr_args = (
                 int(min_depth), float(f_valid), float(f_invalid),
                 valid.ctypes.data_as(ctypes.c_void_p),

@@ -1295,6 +1295,37 @@ constexpr int kDenseVNative = 8;
 
 // Sequential-exact depth: one f64 add per event in exactly the
 // reference's order (file order; consecutive positions within a run).
+// Position-clipped depth fold: writes only [pos_lo, pos_hi), still
+// walking runs in STREAM order so each position's f64 add order is
+// bit-identical to the reference's (polish.rs:177) — clipping by
+// position never reorders the adds that land on one position.
+void fold_depth_range(const RunsResult& rr, int32_t contig,
+                      int64_t pos_lo, int64_t pos_hi, double* depth_out) {
+  memset(depth_out + pos_lo, 0,
+         (size_t)(pos_hi - pos_lo) * sizeof(double));
+  const size_t n_runs = rr.run_contig.size();
+  constexpr size_t kPF = 8;
+  for (size_t r = 0; r < n_runs; ++r) {
+    if (r + kPF < n_runs && rr.run_contig[r + kPF] == contig) {
+      const char* pd = (const char*)(depth_out + rr.run_start[r + kPF]);
+      _mm_prefetch(pd, _MM_HINT_T0);
+      _mm_prefetch(pd + 64, _MM_HINT_T0);
+      _mm_prefetch(pd + 128, _MM_HINT_T0);
+      _mm_prefetch(pd + 192, _MM_HINT_T0);
+    }
+    if (rr.run_contig[r] != contig) continue;
+    const int64_t s = rr.run_start[r];
+    const int32_t clo =
+        (int32_t)std::max<int64_t>(0, pos_lo - s);
+    const int32_t chi = (int32_t)std::min<int64_t>(
+        (int64_t)rr.run_len[r], pos_hi - s);
+    if (clo >= chi) continue;
+    const double w = 1.0 / (double)rr.run_k[r];
+    double* d = depth_out + s;
+    for (int32_t j = clo; j < chi; ++j) d[j] += w;
+  }
+}
+
 void fold_depth(const RunsResult& rr, int32_t contig, int64_t P,
                 double* depth_out) {
   memset(depth_out, 0, (size_t)P * sizeof(double));
@@ -2455,19 +2486,25 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
                             low_out);
   };
   if (counts_out && parallel) {
-    // Two threads: A walks counts over the head position range while B
-    // does the stream-order depth (+ thresholds), then picks up the
-    // tail counts range.  Position-disjoint clipping partitions the
-    // integer adds exactly; the split leaves B the smaller share to
-    // cover its depth pass.  Sparse maps merge low-range-first so the
-    // triples stay ascending.
-    const int64_t mid = (P * 6) / 10;
+    // Two symmetric threads, each covering half the position axis:
+    // depth (stream-order, position-clipped — exact), thresholds, then
+    // counts.  Position-disjoint clipping partitions both folds with
+    // no atomics; sparse maps merge low-range-first so the triples
+    // stay ascending.
+    const int64_t mid = P / 2;
     std::unordered_map<int64_t, int32_t> sp_a, sp_b;
-    std::thread td([&]() {
-      depth_and_thresholds();
-      fold_counts_range(*rr, contig, P, mid, P, counts_out, sp_b);
-    });
-    fold_counts_range(*rr, contig, P, 0, mid, counts_out, sp_a);
+    auto half = [&](int64_t lo, int64_t hi,
+                    std::unordered_map<int64_t, int32_t>& sp) {
+      fold_depth_range(*rr, contig, lo, hi, depth_out);
+      if (valid_out)
+        thresholds_from_depth(depth_out + lo, hi - lo, min_depth,
+                              fraction_valid, fraction_invalid,
+                              valid_out + lo, invalid_out + lo,
+                              low_out + lo);
+      fold_counts_range(*rr, contig, P, lo, hi, counts_out, sp);
+    };
+    std::thread td([&]() { half(mid, P, sp_b); });
+    half(0, mid, sp_a);
     td.join();
     sparse_to_buffers(sp_a, fb);
     sparse_to_buffers(sp_b, fb);
