@@ -163,7 +163,14 @@ def main_e2e(args):
     eprint(f"workload: {n_alignments:,} aligned records; baseline best "
            f"{base_s:.2f}s = {n_alignments/base_s/1e3:.0f}k alignments/s")
 
-    backends = [args.backend] if args.backend else ["host", "pallas"]
+    # Default e2e benches the host engine only: on this environment the
+    # TPU is tunnel-attached (~100 MB/s transport), so the device
+    # backend's mandatory ~250 MB event upload alone exceeds the whole
+    # host pipeline (~0.6 s) — see BENCH_NOTES.md "device path" for the
+    # measured physics and why pallas remains the right default on
+    # PCIe/local-attached TPU hosts.  Bench it explicitly with
+    # --backend pallas.
+    backends = [args.backend] if args.backend else ["host"]
     results = {}
     for backend in backends:
         if backend != "host":
