@@ -398,7 +398,7 @@ def main():
     ap.add_argument("--repeat-len", type=int, default=20_000)
     ap.add_argument("--repeat-copies", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--runs", type=int, default=7)
+    ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--baseline-runs", type=int, default=3)
     ap.add_argument("--backend", default=None,
                     choices=(None, "host", "pallas", "xla"))

@@ -471,8 +471,10 @@ def consensus_dense_native(counts, valid_thr, invalid_thr, low_depth,
         np.asarray(low_depth, dtype=np.bool_).view(np.uint8)
     )
     orig_id = np.ascontiguousarray(orig_id, dtype=np.int32)
-    new_id = np.empty(P, dtype=np.int32)
-    status = np.empty(P, dtype=np.int32)
+    from polypolish_tpu.native.runs import _pooled_buffer
+
+    new_id = _pooled_buffer("new_id", (P,), np.int32)
+    status = _pooled_buffer("status", (P,), np.int32)
 
     def ptr(a, ct):
         return a.ctypes.data_as(ctypes.POINTER(ct))

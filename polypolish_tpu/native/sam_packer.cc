@@ -246,6 +246,8 @@ struct RunsWorker : WorkerBase {
   std::vector<std::pair<int64_t, int32_t>> overflow;  // (local evt idx, vid)
   uint8_t lut8[256];   // raw seq byte (case-folded) -> vocab byte; 255 = slow
   std::string tmp_str; // reused insertion-string buffer
+  std::string_view last_ref;  // 1-entry contig-id cache (views into the
+  int32_t last_ref_id = -1;   // mmap'd file stay valid for the range)
 
   void prepare() {
     // Bytes may only carry BASE-vocab ids (identical across threads);
@@ -454,13 +456,20 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
       seq_len = a.seq_raw.size();
     }
 
-    auto cit = sh.contig_ids.find(a.ref_name);
-    if (cit == sh.contig_ids.end()) {
-      return w.fail("query name " + std::string(a.ref_name) +
-                        " in SAM but not in assembly",
-                    line_no);
+    int32_t contig;
+    if (a.ref_name == w.last_ref) {   // consecutive hits share the contig
+      contig = w.last_ref_id;
+    } else {
+      auto cit = sh.contig_ids.find(a.ref_name);
+      if (cit == sh.contig_ids.end()) {
+        return w.fail("query name " + std::string(a.ref_name) +
+                          " in SAM but not in assembly",
+                      line_no);
+      }
+      contig = cit->second;
+      w.last_ref = a.ref_name;
+      w.last_ref_id = contig;
     }
-    int32_t contig = cit->second;
 
     const size_t mark = w.vbytes.size();
     const size_t ov_mark = w.overflow.size();
