@@ -409,7 +409,7 @@ def main():
     ap.add_argument("--tile-p", type=int, default=None)
     ap.add_argument("--e-sub", type=int, default=None)
     ap.add_argument("--sweep", action="store_true")
-    ap.add_argument("--variant", default="fused",
+    ap.add_argument("--variant", default="split",
                     choices=("unfused", "fused", "split"))
     ap.add_argument("--ab", action="store_true",
                     help="A/B all kernel variants in-process")
