@@ -203,14 +203,25 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _resolve_backend(requested: str) -> str:
+    """auto = 'pallas' only when a TPU is attached over an
+    interconnect-grade link (utils/transport.py); a tunnel-attached chip
+    would make the device path transfer-bound by orders of magnitude, so
+    it falls back to the host engine with a note."""
     if requested != "auto":
         return requested
     try:
-        import jax
+        from polypolish_tpu.utils.transport import transport_grade
 
-        platform = jax.devices()[0].platform
-        if platform in ("tpu", "axon"):
+        grade = transport_grade()
+        if grade == "fast":
             return "pallas"
+        if grade == "slow":
+            print(
+                "note: TPU detected but the host<->device link measures "
+                "tunnel-grade (<1 GB/s); using the host backend "
+                "(--backend pallas to force the device path)",
+                file=sys.stderr,
+            )
         return "host"
     except Exception:
         return "host"
