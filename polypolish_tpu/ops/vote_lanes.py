@@ -1,0 +1,243 @@
+"""Lane-aligned VPU vote kernel — the fast path for pileup counting.
+
+Replaces the reference's per-base scatter loop (pileup.rs:56-65 /
+pileup.rs:189-200).  The round-2 MXU one-hot-matmul kernels
+(ops/vote_pallas.py) are limited by a fundamental fact: every vote is a
+rank-1 update of the count tile, and the MXU retires at most ~one
+128x128 rank-1 update per cycle, capping any matmul formulation at
+~1-2 G votes/s regardless of how the one-hots are factored (measured
+~0.56 G on v5e).  This kernel removes the one-hot entirely:
+
+  * Host layout ("lanes"): a tile is ``tile_w`` consecutive positions
+    (a multiple of 128; default 1024 = 8 VPU vregs wide).  An event at
+    position p with dense vocab id v is stored as ONE uint8 (the vocab
+    id) at column ``p % tile_w`` of a row owned by tile
+    ``p // tile_w``; a position's k-th event goes to the k-th row.
+    Empty slots hold 255.  The position one-hot is now *implicit in
+    the column index* — no per-event position compares — and the wire
+    format is 1 byte/event (+ padding).
+
+  * Kernel: grid over row-blocks of ``r_sub`` rows.  For each of the 8
+    dense vocab values: one (r_sub, tile_w) compare + one sublane-sum.
+    Pure VPU, no MXU.  Measured on v5e (100 M events, depth 50,
+    chained-iteration timing, bitwise-checked): 126 G slots/s =
+    62.7 G votes/s at tile_w=2048 / 50.0 G at tile_w=1024 — ~60x the
+    AVX-512 host fold (~1 G votes/s on 2 vCPUs) and ~110x the round-2
+    MXU kernel (0.56 G).  At ~24-32 lane-ops per slot that slot rate
+    sits at the VPU ALU roofline; the HBM stream (1 B/slot) uses ~15%
+    of the 819 GB/s chip bandwidth, and grid-step overhead (~0.2-0.5
+    us/step) is amortised by the wide tiles.
+
+Counts are exact int32 sums of 0/1 indicators — bitwise identical to
+the host fold and the MXU kernels across row order, block size, slab
+splits, and device meshes (integer adds commute).
+
+Padding model: slots per tile = tile_w * (max per-position event count
+in the tile, rounded up to r_sub, min r_sub).  Sparse-tier events
+(vocab >= 8) occupy a slot with byte 255 and contribute nothing (they
+are counted host-side, mirroring the reference's HashMap tier) — this
+lets the native packer copy run vocab bytes verbatim.  Wider tiles
+amortise grid steps but take the max over more positions; r_sub trades
+row-rounding waste against step count.  Defaults (tile_w=2048,
+r_sub=32) measured best on 50x-coverage-shaped pileups (2.0x padding).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from polypolish_tpu.vocab import DENSE_V
+
+TILE_W = 2048  # positions per tile (lane-dim; multiple of 128)
+R_SUB = 32  # rows per grid step (>= 32 = native int8 sublane tile)
+PAD_BYTE = 255  # empty slot / sparse-tier marker (== native overflow byte)
+# SMEM budget for the per-block tile map (see vote_pallas.py): split
+# longer block streams into equal slabs of this many blocks.
+MAX_BLOCKS_PER_CALL = 32768
+
+
+def _make_lanes_kernel(r_sub: int, tile_w: int):
+    def _kernel(tiles_ref, vb_ref, out_ref):
+        c = pl.program_id(0)
+        prev_tile = tiles_ref[jnp.maximum(c - 1, 0)]
+        is_first = jnp.logical_or(c == 0, tiles_ref[c] != prev_tile)
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        # one i8->i32 widen per block: Mosaic on v5e rejects int8
+        # equality compares (same legalization gap as the round-2 int8
+        # mask multiply, BENCH_NOTES.md), so compare in int32
+        vb = vb_ref[:, :].astype(jnp.int32)  # (r_sub, tile_w); pad 255==-1
+        parts = []
+        for v in range(DENSE_V):
+            m = (vb == v).astype(jnp.int32)
+            parts.append(jnp.sum(m, axis=0, keepdims=True))  # (1, tile_w)
+        out_ref[:, :] += jnp.concatenate(parts, axis=0)  # (8, tile_w)
+
+    return _kernel
+
+
+def _lanes_call_one(vb, block_tile, n_tiles: int, interpret: bool,
+                    r_sub: int, tile_w: int):
+    n_blocks = vb.shape[0] // r_sub
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((r_sub, tile_w), lambda c, tiles: (c, 0))],
+        out_specs=pl.BlockSpec(
+            (DENSE_V, tile_w), lambda c, tiles: (0, tiles[c])
+        ),
+    )
+    return pl.pallas_call(
+        _make_lanes_kernel(r_sub, tile_w),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((DENSE_V, n_tiles * tile_w),
+                                       jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            # VPU-only: ~DENSE_V compare+reduce lane-ops per slot
+            flops=2 * DENSE_V * vb.size,
+            bytes_accessed=vb.size + n_tiles * tile_w * DENSE_V * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(block_tile, vb)
+
+
+def _lanes_call(vb, block_tile, n_tiles: int, interpret: bool,
+                r_sub: int = R_SUB, tile_w: int = TILE_W):
+    """vb: (n_blocks*r_sub, tile_w) int8; block_tile: (n_blocks,) int32.
+
+    Streams longer than MAX_BLOCKS_PER_CALL blocks are processed as
+    equal slabs (callers pad to a slab multiple); a tile straddling a
+    slab boundary is re-zeroed by the later slab and the partial int32
+    outputs are summed — exact, bitwise-equal to a single call."""
+    n_blocks = vb.shape[0] // r_sub
+    if n_blocks > MAX_BLOCKS_PER_CALL:
+        assert n_blocks % MAX_BLOCKS_PER_CALL == 0, (
+            n_blocks, MAX_BLOCKS_PER_CALL,
+        )
+        m = MAX_BLOCKS_PER_CALL
+        total = None
+        for s in range(n_blocks // m):
+            bt_slab = block_tile[s * m:(s + 1) * m]
+            out = _lanes_call_one(
+                vb[s * m * r_sub:(s + 1) * m * r_sub], bt_slab,
+                n_tiles, interpret, r_sub, tile_w,
+            )
+            visited = jnp.zeros((n_tiles,), jnp.int32).at[bt_slab].set(1)
+            out = out * jnp.repeat(visited, tile_w)[None, :]
+            total = out if total is None else total + out
+        return total
+    return _lanes_call_one(vb, block_tile, n_tiles, interpret, r_sub, tile_w)
+
+
+_lanes_jit = jax.jit(
+    _lanes_call, static_argnames=("n_tiles", "interpret", "r_sub", "tile_w")
+)
+
+
+def _pad_block_count(vb: np.ndarray, block_tile: np.ndarray, n_tiles: int,
+                     r_sub: int, tile_w: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Geometric block-count padding (shared compile shapes) + slab
+    rounding, mirroring vote_pallas._pad_chunk_count.  Pad blocks are
+    all-255 rows mapped to the last tile."""
+    n_blocks = block_tile.shape[0]
+    n = max(int(n_blocks), 8)
+    shift = max(n.bit_length() - 1 - 3, 0)
+    step = 1 << shift
+    padded = -(-n // step) * step
+    if padded > MAX_BLOCKS_PER_CALL:
+        padded = -(-padded // MAX_BLOCKS_PER_CALL) * MAX_BLOCKS_PER_CALL
+    if padded == n_blocks:
+        return vb, block_tile
+    extra = padded - n_blocks
+    pad_vb = np.full((extra * r_sub, tile_w), PAD_BYTE, dtype=np.uint8)
+    pad_tile = np.full(extra, n_tiles - 1, dtype=np.int32)
+    return (np.concatenate([vb, pad_vb]),
+            np.concatenate([block_tile, pad_tile]))
+
+
+def prepare_lanes(
+    pos: np.ndarray,
+    vocab: np.ndarray,
+    num_positions: int,
+    r_sub: int = R_SUB,
+    tile_w: int = TILE_W,
+    use_native: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Pack events into the lane-aligned layout (numpy reference packer;
+    the native C++ twin is pp_lanes_from_runs, which packs straight from
+    the run stream).
+
+    Returns (vb (n_blocks*r_sub, tile_w) uint8, block_tile (n_blocks,)
+    int32, n_tiles).  Sparse-tier / out-of-range events are dropped
+    (they are counted host-side).
+    """
+    assert tile_w % 128 == 0 and r_sub % 8 == 0
+    n_tiles = max(1, -(-num_positions // tile_w))
+    mask = (vocab >= 0) & (vocab < DENSE_V) & (pos >= 0) & (pos < num_positions)
+    pos = np.asarray(pos[mask], dtype=np.int64)
+    vocab = np.asarray(vocab[mask], dtype=np.uint8)
+
+    depth = np.bincount(pos, minlength=n_tiles * tile_w).astype(np.int64)
+    max_per_tile = depth.reshape(n_tiles, tile_w).max(axis=1)
+    rows_per_tile = np.maximum(
+        r_sub, -(-max_per_tile // r_sub) * r_sub
+    ).astype(np.int64)
+    row_base = np.concatenate(([0], np.cumsum(rows_per_tile)))[:-1]
+    total_rows = int(rows_per_tile.sum())
+
+    # occurrence index of each event within its position (stable sort)
+    order = np.argsort(pos.astype(np.int32), kind="stable")
+    spos = pos[order]
+    pos_start = np.concatenate(([0], np.cumsum(depth)))
+    occ = np.arange(spos.size, dtype=np.int64) - pos_start[spos]
+
+    vb = np.full((total_rows, tile_w), PAD_BYTE, dtype=np.uint8)
+    tile = spos // tile_w
+    row = row_base[tile] + occ
+    vb[row, spos % tile_w] = vocab[order]
+
+    block_tile = np.repeat(
+        np.arange(n_tiles, dtype=np.int32),
+        (rows_per_tile // r_sub).astype(np.int64),
+    )
+    vb, block_tile = _pad_block_count(vb, block_tile, n_tiles, r_sub, tile_w)
+    return vb, block_tile, n_tiles
+
+
+def _default_interpret() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:
+        return True
+
+
+def dense_counts_lanes(
+    pos: np.ndarray,
+    vocab: np.ndarray,
+    num_positions: int,
+    interpret: Optional[bool] = None,
+    r_sub: int = R_SUB,
+    tile_w: int = TILE_W,
+) -> jnp.ndarray:
+    """(8, P) int32 dense vote counts via the lane-aligned VPU kernel."""
+    if interpret is None:
+        interpret = _default_interpret()
+    vb, block_tile, n_tiles = prepare_lanes(
+        pos, vocab, num_positions, r_sub, tile_w
+    )
+    out = _lanes_jit(
+        jnp.asarray(vb.view(np.int8)), jnp.asarray(block_tile),
+        n_tiles=n_tiles, interpret=interpret, r_sub=r_sub, tile_w=tile_w,
+    )
+    return out[:, :num_positions]
