@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
         "a TPU is attached, else host; 'sharded' = SPMD over all devices)",
     )
     p.add_argument(
+        "--kernel-variant", default=None, choices=("lanes", "mxu"),
+        help="Device vote kernel for --backend pallas: 'lanes' "
+        "(lane-aligned VPU kernel, default) or 'mxu' (one-hot matmul)",
+    )
+    p.add_argument(
         "--pure-python", action="store_true",
         help="Disable the native (C++) SAM packer",
     )
@@ -236,6 +241,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 2
     args = build_parser().parse_args(argv)
     import os
+
+    if getattr(args, "kernel_variant", None):
+        os.environ["POLYPOLISH_TPU_KERNEL"] = args.kernel_variant
 
     platform = os.environ.get("POLYPOLISH_TPU_PLATFORM")
     if platform:

@@ -125,3 +125,108 @@ def example_inputs(
         jnp.asarray(low_depth), jnp.asarray(orig_id),
     )
     return model, args
+
+
+class LanesPolisher:
+    """Device polisher fed by the lane-aligned VPU vote kernel
+    (ops/vote_lanes.py) — the round-3 flagship device path.
+
+    forward_pack(vb, block_tile, valid_thr, invalid_thr, low_depth,
+    orig_id) -> (counts (8, P) device, new_id (P,), status (P,)).
+
+    Slab streams (> MAX_BLOCKS_PER_CALL blocks) are uploaded slab by
+    slab with ``jax.device_put`` and the per-slab kernels launched as
+    each upload is issued, so transfers overlap compute (polish.rs:26-38
+    scope; fixes the serial slab loop flagged in round 2).  All slabs
+    share one compiled shape.
+    """
+
+    def __init__(self, num_positions: int, r_sub: Optional[int] = None,
+                 tile_w: Optional[int] = None,
+                 interpret: Optional[bool] = None) -> None:
+        from polypolish_tpu.ops.vote_lanes import (
+            MAX_BLOCKS_PER_CALL,
+            R_SUB,
+            TILE_W,
+            _lanes_call_one,
+        )
+        from polypolish_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        self.num_positions = num_positions
+        self.r_sub = R_SUB if r_sub is None else r_sub
+        self.tile_w = TILE_W if tile_w is None else tile_w
+        self.n_tiles = max(1, -(-num_positions // self.tile_w))
+        self.max_blocks = MAX_BLOCKS_PER_CALL
+        if interpret is None:
+            try:
+                interpret = jax.default_backend() not in ("tpu", "axon")
+            except Exception:
+                interpret = True
+        self.interpret = interpret
+
+        r_sub_, tile_w_, n_tiles_ = self.r_sub, self.tile_w, self.n_tiles
+        interpret_ = self.interpret
+
+        @jax.jit
+        def _slab(vb, block_tile):
+            out = _lanes_call_one(
+                vb, block_tile, n_tiles_, interpret_, r_sub_, tile_w_
+            )
+            visited = (
+                jnp.zeros((n_tiles_,), jnp.int32).at[block_tile].set(1)
+            )
+            return out * jnp.repeat(visited, tile_w_)[None, :]
+
+        @jax.jit
+        def _single(vb, block_tile):
+            return _lanes_call_one(
+                vb, block_tile, n_tiles_, interpret_, r_sub_, tile_w_
+            )
+
+        @jax.jit
+        def _add(a, b):
+            return a + b
+
+        @jax.jit
+        def _finish(counts, valid_thr, invalid_thr, low_depth, orig_id):
+            from polypolish_tpu.ops.consensus import consensus_dense_core
+
+            c = counts[:, : self.num_positions]
+            new_id, status = consensus_dense_core(
+                c, valid_thr, invalid_thr, low_depth, orig_id
+            )
+            return c, new_id, status
+
+        self._slab_jit = _slab
+        self._single_jit = _single
+        self._add_jit = _add
+        self._finish_jit = _finish
+
+    def vote_counts(self, vb: np.ndarray, block_tile: np.ndarray):
+        """(8, n_tiles*tile_w) int32 device counts from a host pack.
+        Slab uploads are issued back-to-back with the kernel launches —
+        jax's async dispatch overlaps slab s+1's transfer with slab s's
+        compute."""
+        n_blocks = vb.shape[0] // self.r_sub
+        vb8 = vb.view(np.int8)
+        if n_blocks <= self.max_blocks:
+            return self._single_jit(
+                jax.device_put(vb8), jax.device_put(block_tile)
+            )
+        assert n_blocks % self.max_blocks == 0, (n_blocks, self.max_blocks)
+        m = self.max_blocks
+        total = None
+        for s in range(n_blocks // m):
+            d_vb = jax.device_put(vb8[s * m * self.r_sub:(s + 1) * m * self.r_sub])
+            d_bt = jax.device_put(block_tile[s * m:(s + 1) * m])
+            part = self._slab_jit(d_vb, d_bt)
+            total = part if total is None else self._add_jit(total, part)
+        return total
+
+    def forward_pack(self, vb, block_tile, valid_thr, invalid_thr,
+                     low_depth, orig_id):
+        counts = self.vote_counts(vb, block_tile)
+        return self._finish_jit(
+            counts, valid_thr, invalid_thr, low_depth, orig_id
+        )

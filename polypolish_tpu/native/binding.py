@@ -121,6 +121,17 @@ class _PPChunks2View(ctypes.Structure):
     ]
 
 
+class _PPLanesView(ctypes.Structure):
+    _fields_ = [
+        ("vb", ctypes.POINTER(ctypes.c_uint8)),
+        ("block_tile", ctypes.POINTER(ctypes.c_int32)),
+        ("n_blocks", ctypes.c_int64),
+        ("n_tiles", ctypes.c_int64),
+        ("n_events", ctypes.c_int64),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
 class _PPResultView(ctypes.Structure):
     _fields_ = [
         ("contig_id", ctypes.POINTER(ctypes.c_int32)),
@@ -281,6 +292,17 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.pp_free_chunks2.argtypes = [ctypes.POINTER(_PPChunks2View)]
         lib.pp_free_chunks2.restype = None
+        lib.pp_lanes_from_runs.restype = ctypes.POINTER(_PPLanesView)
+        lib.pp_lanes_from_runs.argtypes = [
+            ctypes.POINTER(_PPRunsView),
+            ctypes.c_int32,                     # contig id
+            ctypes.c_int64,                     # P
+            ctypes.c_int32,                     # r_sub
+            ctypes.c_int32,                     # tile_w
+            ctypes.c_int32,                     # n_threads
+        ]
+        lib.pp_free_lanes.argtypes = [ctypes.POINTER(_PPLanesView)]
+        lib.pp_free_lanes.restype = None
         lib.pp_consensus_dense.restype = None
         lib.pp_consensus_dense.argtypes = [
             ctypes.POINTER(ctypes.c_int32),     # counts (8, P) row-major

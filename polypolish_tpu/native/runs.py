@@ -213,6 +213,27 @@ class ParsedRuns:
         finally:
             self._lib.pp_free_chunks2(cv)
 
+    def lanes(self, contig_name: str, r_sub: int, tile_w: int,
+              n_threads: int = 0, num_positions: Optional[int] = None):
+        """Lane-aligned pack for the VPU vote kernel (ops/vote_lanes.py):
+        returns a LanesPack exposing zero-copy (vb (n_blocks*r_sub,
+        tile_w) uint8, block_tile int32 (n_blocks,), n_tiles) — one
+        vocab byte per event at column pos%tile_w, pad byte 255.  The
+        arrays stay valid until the pack is closed/garbage-collected
+        (callers upload to device, then drop it).  num_positions may
+        exceed the contig length (position-axis padding)."""
+        cid = self.contig_names.index(contig_name)
+        P = num_positions if num_positions is not None \
+            else self.contig_lens[contig_name]
+        lv = self._lib.pp_lanes_from_runs(
+            self._view, cid, P, r_sub, tile_w, n_threads
+        )
+        c = lv.contents
+        if int(c.n_tiles) == 0 or not c.vb:
+            self._lib.pp_free_lanes(lv)
+            return None
+        return LanesPack(self._lib, lv, r_sub, tile_w)
+
     # -- raw access (tests, sharded backend) ---------------------------
     def raw(self):
         """Zero-copy numpy views of the run arrays (valid until close):
@@ -306,3 +327,40 @@ def parse_runs(
     pr = ParsedRuns(lib, view, contig_names, contig_lens)
     pr.base_vocab_len = base_vocab_len
     return pr
+
+
+class LanesPack:
+    """Owns a PPLanesView (native lane-aligned pack); zero-copy views."""
+
+    def __init__(self, lib, view, r_sub: int, tile_w: int):
+        self._lib = lib
+        self._view = view
+        c = view.contents
+        self.n_blocks = int(c.n_blocks)
+        self.n_tiles = int(c.n_tiles)
+        self.n_events = int(c.n_events)
+        self.r_sub = r_sub
+        self.tile_w = tile_w
+        self.vb = _as_np(
+            c.vb, self.n_blocks * r_sub * tile_w, np.uint8
+        ).reshape(self.n_blocks * r_sub, tile_w)
+        self.block_tile = _as_np(c.block_tile, self.n_blocks, np.int32)
+
+    def close(self) -> None:
+        if self._view is not None:
+            self.vb = None
+            self.block_tile = None
+            self._lib.pp_free_lanes(self._view)
+            self._view = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # best-effort
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -2979,4 +2979,224 @@ void pp_free_chunks2(PPChunks2View* view) {
   delete view;
 }
 
+// ---------------------------------------------------------------------
+// Lane-aligned packer for the VPU vote kernel (ops/vote_lanes.py): one
+// vocab byte per event at column (pos % tile_w) of a row owned by tile
+// (pos / tile_w); a position's k-th event goes to its k-th row; empty
+// slots hold 255.  Overflow (sparse-tier) bytes are copied verbatim —
+// they are already 255 in the run byte stream and the kernel ignores
+// them, so no overflow-list walk is needed at all (unlike
+// pp_chunks_from_runs).  Per-position depth comes from a difference
+// array over the run extents: O(n_runs + P), no per-event pass.
+// ---------------------------------------------------------------------
+
+struct LanesBuffers {
+  uint8_t* vb = nullptr;
+  size_t vb_size = 0;
+  std::vector<int32_t> block_tile;
+  ~LanesBuffers() {
+    if (vb) free(vb);
+  }
+};
+
+struct PPLanesView {
+  const uint8_t* vb;         // (n_blocks*r_sub, tile_w) row-major uint8
+  const int32_t* block_tile; // (n_blocks,)
+  int64_t n_blocks;          // geometric+slab padded
+  int64_t n_tiles;
+  int64_t n_events;          // events placed (incl. sparse-tier bytes)
+  void* handle;
+};
+
+PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
+                                int32_t r_sub, int32_t tile_w,
+                                int32_t n_threads) {
+  auto* rr = static_cast<RunsResult*>(runs->handle);
+  auto* buf = new LanesBuffers();
+  auto* view = new PPLanesView();
+  memset(view, 0, sizeof(*view));
+  view->handle = buf;
+  if (r_sub <= 0 || tile_w <= 0 || tile_w % 128 != 0 || P < 0) return view;
+
+  rr->prepare_sorted();
+  int64_t lo = 0, hi = 0;
+  if (contig >= 0 && (size_t)contig < rr->contig_slices.size()) {
+    lo = rr->contig_slices[(size_t)contig].first;
+    hi = rr->contig_slices[(size_t)contig].second;
+  }
+  const int64_t n_tiles = P > 0 ? (P + tile_w - 1) / tile_w : 1;
+
+  // pass 1: depth per position via run-extent difference array
+  std::vector<int32_t> diff((size_t)P + 1, 0);
+  int64_t n_events = 0;
+  for (int64_t i = lo; i < hi; ++i) {
+    const RunsResult::SortedRun& sr = rr->sruns[(size_t)i];
+    int64_t s = sr.start, e = (int64_t)sr.start + sr.len;
+    if (s < 0) s = 0;
+    if (e > P) e = P;
+    if (e <= s) continue;
+    ++diff[(size_t)s];
+    --diff[(size_t)e];
+    n_events += e - s;
+  }
+  // rows per tile = max prefix-summed depth in the window, rounded up
+  // to r_sub (min r_sub so every output block initialises)
+  std::vector<int64_t> rows_per_tile((size_t)n_tiles, 0);
+  std::vector<int32_t> depth((size_t)P, 0);
+  {
+    int32_t run = 0;
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      int64_t p_lo = t * (int64_t)tile_w;
+      int64_t p_hi = std::min(P, p_lo + tile_w);
+      int32_t mx = 0;
+      for (int64_t p = p_lo; p < p_hi; ++p) {
+        run += diff[(size_t)p];
+        depth[(size_t)p] = run;
+        mx = std::max(mx, run);
+      }
+      int64_t rows = ((int64_t)mx + r_sub - 1) / r_sub * r_sub;
+      if (rows < r_sub) rows = r_sub;
+      rows_per_tile[(size_t)t] = rows;
+    }
+  }
+  std::vector<int64_t> row_base((size_t)n_tiles + 1, 0);
+  int64_t n_blocks = 0;
+  {
+    int64_t acc = 0;
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      row_base[(size_t)t] = acc;
+      acc += rows_per_tile[(size_t)t];
+      n_blocks += rows_per_tile[(size_t)t] / r_sub;
+    }
+    row_base[(size_t)n_tiles] = acc;
+  }
+
+  // geometric + slab padding (mirrors vote_lanes._pad_block_count)
+  constexpr int64_t kMaxBlocksPerCall = 32768;  // = MAX_BLOCKS_PER_CALL
+  int64_t padded_blocks;
+  {
+    int64_t nmin = n_blocks < 8 ? 8 : n_blocks;
+    int bits = 0;
+    while ((nmin >> bits) > 1) ++bits;
+    int shift = bits - 3 > 0 ? bits - 3 : 0;
+    int64_t step = (int64_t)1 << shift;
+    padded_blocks = (n_blocks + step - 1) / step * step;
+    if (padded_blocks > kMaxBlocksPerCall)
+      padded_blocks = (padded_blocks + kMaxBlocksPerCall - 1) /
+                      kMaxBlocksPerCall * kMaxBlocksPerCall;
+  }
+
+  const size_t vb_size = (size_t)padded_blocks * r_sub * tile_w;
+  buf->vb = (uint8_t*)malloc(vb_size);
+  if (!buf->vb) return view;
+  buf->vb_size = vb_size;
+  madvise_huge(buf->vb, vb_size);
+  buf->block_tile.resize((size_t)padded_blocks);
+  {
+    int64_t b = 0;
+    for (int64_t t = 0; t < n_tiles; ++t)
+      for (int64_t k = 0; k < rows_per_tile[(size_t)t] / r_sub; ++k)
+        buf->block_tile[(size_t)b++] = (int32_t)t;
+    for (; b < padded_blocks; ++b)
+      buf->block_tile[(size_t)b] = (int32_t)(n_tiles - 1);
+  }
+
+  // pass 2: pad-fill + scatter, threaded by tile-aligned position
+  // ranges of ~equal event mass (writers touch disjoint row ranges;
+  // sruns sorted by start make each range's source walk sequential)
+  int T = n_threads > 0 ? n_threads : 1;
+  if (T > 8) T = 8;
+  if ((int64_t)T > (n_events + (1 << 21) - 1) / (1 << 21))
+    T = (int)((n_events + (1 << 21) - 1) / (1 << 21));
+  if (T < 1) T = 1;
+  std::vector<int64_t> trange((size_t)T + 1, 0);  // tile boundaries
+  {
+    // cumulative events per tile for balancing
+    std::vector<int64_t> cum((size_t)n_tiles + 1, 0);
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      int64_t p_lo = t * (int64_t)tile_w;
+      int64_t p_hi = std::min(P, p_lo + tile_w);
+      int64_t s = 0;
+      for (int64_t p = p_lo; p < p_hi; ++p) s += depth[(size_t)p];
+      cum[(size_t)t + 1] = cum[(size_t)t] + s;
+    }
+    for (int th = 1; th < T; ++th) {
+      int64_t target = n_events * th / T;
+      int64_t t = trange[(size_t)th - 1];
+      while (t < n_tiles && cum[(size_t)t] < target) ++t;
+      trange[(size_t)th] = t;
+    }
+    trange[(size_t)T] = n_tiles;
+  }
+  const int32_t max_len = rr->max_run_len;
+  auto scatter_range = [&](int th) {
+    const int64_t t_lo = trange[(size_t)th], t_hi = trange[(size_t)th + 1];
+    if (t_lo >= t_hi) return;
+    const int64_t p_lo = t_lo * (int64_t)tile_w;
+    const int64_t p_hi = std::min(P, t_hi * (int64_t)tile_w);
+    // pad-fill this thread's rows
+    memset(buf->vb + (size_t)row_base[(size_t)t_lo] * tile_w, 0xff,
+           (size_t)(row_base[(size_t)t_hi] - row_base[(size_t)t_lo]) *
+               tile_w);
+    if (p_hi <= p_lo) return;
+    // per-position write cursors for this range only
+    std::vector<int32_t> cur((size_t)(p_hi - p_lo), 0);
+    // first sorted run that can reach p_lo
+    int64_t i0 = lo;
+    if (max_len > 0) {
+      int32_t min_start =
+          (int32_t)std::max<int64_t>(0, p_lo - (int64_t)max_len);
+      i0 = std::lower_bound(
+               rr->sruns.begin() + lo, rr->sruns.begin() + hi, min_start,
+               [](const RunsResult::SortedRun& a, int32_t v) {
+                 return a.start < v;
+               }) -
+           rr->sruns.begin();
+    }
+    const uint8_t* all_vb = rr->vbytes.data();
+    for (int64_t i = i0; i < hi; ++i) {
+      const RunsResult::SortedRun& sr = rr->sruns[(size_t)i];
+      if ((int64_t)sr.start >= p_hi) break;
+      int64_t s = std::max<int64_t>(sr.start, p_lo);
+      int64_t e = std::min<int64_t>((int64_t)sr.start + sr.len, p_hi);
+      if (e <= s) continue;
+      const uint8_t* src = all_vb + sr.evt_off + (s - sr.start);
+      int64_t p = s;
+      while (p < e) {
+        const int64_t t = p / tile_w;
+        const int64_t seg_end = std::min(e, (t + 1) * (int64_t)tile_w);
+        uint8_t* base = buf->vb + (size_t)row_base[(size_t)t] * tile_w;
+        int64_t col = p - t * (int64_t)tile_w;
+        for (; p < seg_end; ++p, ++col) {
+          const int32_t row = cur[(size_t)(p - p_lo)]++;
+          base[(size_t)row * tile_w + col] = *src++;
+        }
+      }
+    }
+  };
+  if (T == 1) {
+    scatter_range(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int th = 0; th < T; ++th) ts.emplace_back(scatter_range, th);
+    for (auto& t : ts) t.join();
+  }
+  if (padded_blocks > n_blocks)
+    memset(buf->vb + (size_t)n_blocks * r_sub * tile_w, 0xff,
+           (size_t)(padded_blocks - n_blocks) * r_sub * tile_w);
+
+  view->vb = buf->vb;
+  view->block_tile = buf->block_tile.data();
+  view->n_blocks = padded_blocks;
+  view->n_tiles = n_tiles;
+  view->n_events = n_events;
+  return view;
+}
+
+void pp_free_lanes(PPLanesView* view) {
+  if (!view) return;
+  delete static_cast<LanesBuffers*>(view->handle);
+  delete view;
+}
+
 }  // extern "C"

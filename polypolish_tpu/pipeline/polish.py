@@ -512,6 +512,16 @@ def finish_sequence(
     return len(polished_seq)
 
 
+def kernel_variant() -> str:
+    """Device vote-kernel selection: 'lanes' (round-3 lane-aligned VPU
+    kernel, default) or 'mxu' (round-2 one-hot-matmul kernels).  Set via
+    POLYPOLISH_TPU_KERNEL (the CLI --kernel-variant flag maps to it)."""
+    import os
+
+    v = os.environ.get("POLYPOLISH_TPU_KERNEL", "lanes")
+    return v if v in ("lanes", "mxu") else "lanes"
+
+
 def _pad_bucket(n: int, granularity_bits: int = 3, minimum: int = 4096) -> int:
     """Round n up to a geometric bucket (<= 12.5% padding) so jitted
     device graphs are shared across contigs of similar length instead of
@@ -567,18 +577,46 @@ def _polish_device_runs(
         out[:seq_len] = arr
         return jnp.asarray(out)
 
-    key = (p_pad, backend)
-    model = _MODEL_CACHE.get(key)
-    if model is None:
-        model = PolisherModel(p_pad, use_pallas=(backend == "pallas"))
-        _MODEL_CACHE[key] = model
-
     thr_args = (
         pad(valid_thr, i32max, np.int32),
         pad(invalid_thr, i32max, np.int32),
         pad(low_depth, True, bool),
         pad(orig_id, 0, np.int32),
     )
+
+    if backend == "pallas" and kernel_variant() == "lanes":
+        # round-3 flagship device path: lane-aligned VPU kernel fed by
+        # the native byte packer (1 B/event wire format, slab uploads
+        # overlapped with compute in LanesPolisher.vote_counts)
+        from polypolish_tpu.models.polisher import LanesPolisher
+
+        key = (p_pad, "lanes")
+        model = _MODEL_CACHE.get(key)
+        if model is None:
+            model = LanesPolisher(p_pad)
+            _MODEL_CACHE[key] = model
+        pack = runs_handle.lanes(
+            name, model.r_sub, model.tile_w, num_positions=p_pad
+        )
+        if pack is not None:
+            counts_j, new_id_j, status_j = model.forward_pack(
+                pack.vb, pack.block_tile, *thr_args
+            )
+            counts = counts_j[:, :seq_len]
+            new_id = np.array(new_id_j)[:seq_len]
+            status = np.array(status_j)[:seq_len]
+            # outputs are materialised -> uploads finished; safe to
+            # release the native pack buffer
+            pack.close()
+            return (counts, new_id, status, depth, sparse, valid_thr,
+                    invalid_thr)
+
+    key = (p_pad, backend)
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        model = PolisherModel(p_pad, use_pallas=(backend == "pallas"))
+        _MODEL_CACHE[key] = model
+
     ch = runs_handle.chunks(name, TILE_P, E_SUB, num_positions=p_pad)
     if ch is None:  # tile_p > 256: fall back to the numpy packer
         pos, vid, _w = runs_handle.events(name)

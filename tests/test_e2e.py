@@ -73,6 +73,20 @@ def test_polish_matches_oracle(tmp_path, backend, seed):
     assert got_debug == expected_debug
 
 
+@pytest.mark.parametrize("variant", ["lanes", "mxu"])
+def test_polish_pallas_kernel_variants(tmp_path, variant, monkeypatch):
+    """Both device vote kernels (round-3 lanes, round-2 mxu) must drive
+    the pallas backend to oracle-identical output."""
+    monkeypatch.setenv("POLYPOLISH_TPU_KERNEL", variant)
+    fasta, sam_text = synth.make_polish_case(seed=4)
+    expected, expected_debug = oracle_polish(fasta, [sam_text])
+    got, got_debug, _ = _run_pipeline(
+        tmp_path, fasta, [sam_text], "pallas", f"kv_{variant}"
+    )
+    assert got == expected
+    assert got_debug == expected_debug
+
+
 def test_polish_actually_fixes_draft_errors(tmp_path):
     fasta, sam_text = synth.make_polish_case(seed=3, n_reads=800, err=0.02)
     got, _, _ = _run_pipeline(tmp_path, fasta, [sam_text], "host", "fix")
