@@ -300,6 +300,119 @@ def bench_pallas(pos, vocab, num_positions, iters, tile_p, e_sub,
     return rate, kernel_once, d_args
 
 
+# v5e single-chip peaks for the roofline fields (public spec numbers:
+# 819 GB/s HBM; VPU = 8x128 lanes x 4 ALUs at ~940 MHz)
+HBM_PEAK_BYTES_PER_S = 819e9
+VPU_PEAK_LANE_OPS_PER_S = 8 * 128 * 4 * 0.94e9
+# VPU lane-ops per packed slot in the lanes kernel body: 8 vocab values
+# x (compare + widen/select + reduce-tree share) — cost-model estimate
+LANES_LANE_OPS_PER_SLOT = 24
+
+
+def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
+                verbose=True, check=True):
+    """Lane-aligned VPU kernel (ops/vote_lanes.py) with noise-robust
+    chained timing (the tunnel adds ~25-500 ms fixed per dispatch, so
+    rate = best-of-reps of (T(1+iters) - T(1)) / iters) and a
+    roofline/MFU accounting block in the JSON."""
+    import jax
+    import jax.numpy as jnp
+
+    from polypolish_tpu.ops.vote_lanes import _lanes_call, prepare_lanes
+
+    platform = jax.devices()[0].platform
+    interpret = platform not in ("tpu", "axon")
+    n_events = pos.shape[0]
+
+    t0 = time.time()
+    vb, block_tile, n_tiles = prepare_lanes(
+        pos, vocab, num_positions, r_sub=r_sub, tile_w=tile_w
+    )
+    prep_s = time.time() - t0
+    pad = vb.size / max(n_events, 1)
+    d_vb = jnp.asarray(vb.view(np.int8))
+    d_bt = jnp.asarray(block_tile)
+    jax.block_until_ready((d_vb, d_bt))
+
+    def kernel_once(bt, v):
+        return _lanes_call(v, bt, n_tiles=n_tiles, interpret=interpret,
+                           r_sub=r_sub, tile_w=tile_w)
+
+    if check:
+        from polypolish_tpu.ops.vote import dense_counts_host
+
+        got = np.asarray(kernel_once(d_bt, d_vb))[:, :num_positions]
+        want = dense_counts_host(pos, vocab, num_positions)
+        assert np.array_equal(got, want), "lanes counts != host counts"
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_n(n, bt, v):
+        def body(_, acc):
+            bias = jnp.minimum(acc[0, 0], 0).astype(bt.dtype)
+            out = kernel_once(bt + bias, v)
+            return acc + out[:1, :1]
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((1, 1), jnp.int32))
+
+    t0 = time.time()
+    np.asarray(run_n(1, d_bt, d_vb))
+    compile_s = time.time() - t0
+    # the dispatch path adds a large FIXED latency per invocation
+    # (~25-500 ms through the tunnel), so grow the chained iteration
+    # count until the marginal loop time dominates that noise floor
+    while True:
+        np.asarray(run_n(1 + iters, d_bt, d_vb))
+        t0 = time.time()
+        np.asarray(run_n(1, d_bt, d_vb))
+        t1 = time.time() - t0
+        t0 = time.time()
+        np.asarray(run_n(1 + iters, d_bt, d_vb))
+        t2 = time.time() - t0
+        if t2 - t1 >= 0.3 or iters >= 4096:
+            break
+        iters = min(iters * 4, 4096)
+    best = max((t2 - t1) / iters, 1e-9)
+    for _ in range(2):
+        t0 = time.time()
+        np.asarray(run_n(1, d_bt, d_vb))
+        t1 = time.time() - t0
+        t0 = time.time()
+        np.asarray(run_n(1 + iters, d_bt, d_vb))
+        t2 = time.time() - t0
+        best = min(best, max((t2 - t1) / iters, 1e-9))
+
+    n_blocks = vb.shape[0] // r_sub
+    rate = n_events / best
+    slot_rate = vb.size / best
+    out_bytes = n_tiles * tile_w * 8 * 4
+    roofline = {
+        "votes_per_s": rate,
+        "slots_per_s": slot_rate,
+        "pad_factor": round(pad, 2),
+        "bytes_per_s": slot_rate * 1 + out_bytes / best,
+        "pct_hbm_peak": round(
+            100 * (slot_rate + out_bytes / best) / HBM_PEAK_BYTES_PER_S, 1
+        ),
+        "lane_ops_per_s": slot_rate * LANES_LANE_OPS_PER_SLOT,
+        "pct_vpu_peak": round(
+            100 * slot_rate * LANES_LANE_OPS_PER_SLOT
+            / VPU_PEAK_LANE_OPS_PER_S, 1
+        ),
+        "ns_per_grid_step": round(best / n_blocks * 1e9, 1),
+    }
+    if verbose:
+        eprint(
+            f"lanes tile_w={tile_w} r_sub={r_sub}: prep {prep_s:.2f}s "
+            f"(pad {pad:.2f}x), compile {compile_s:.1f}s, "
+            f"kernel {best * 1000:.3f} ms -> {rate / 1e9:.2f} G votes/s "
+            f"({slot_rate / 1e9:.1f} G slots/s, "
+            f"{roofline['pct_vpu_peak']:.0f}% VPU peak, "
+            f"{roofline['pct_hbm_peak']:.0f}% HBM peak"
+            + (", bitwise OK)" if check else ")")
+        )
+    return rate, roofline
+
+
 def bench_xla(pos, vocab, num_positions, iters):
     import jax
     import jax.numpy as jnp
@@ -331,15 +444,41 @@ def main_kernel(args):
     eprint(f"device: {jax.devices()[0]}")
     pos, vocab = _make_events(args.events, args.positions)
 
+    if args.variant == "lanes" and not (args.ab or args.sweep or args.xla):
+        from polypolish_tpu.ops import vote_lanes
+
+        r_sub = args.e_sub or vote_lanes.R_SUB
+        tile_w = args.tile_p or vote_lanes.TILE_W
+        rate, roofline = bench_lanes(
+            pos, vocab, args.positions, max(args.iters, 24), r_sub, tile_w,
+            check=not args.no_check,
+        )
+        print(json.dumps({
+            "metric": "pileup_vote_throughput",
+            "value": round(rate / 1e6, 1),
+            "unit": "M votes/s",
+            "vs_baseline": round(rate / KERNEL_BASELINE_VOTES_PER_S, 2),
+            "roofline": roofline,
+        }))
+        return
+
     if args.ab:
         tile_p, e_sub = 256, 8
         rates = {}
-        variants = ("unfused", "fused", "split")
+        variants = ("unfused", "fused", "split", "lanes")
         for variant in variants * 2:
-            r, _, _ = bench_pallas(
-                pos, vocab, args.positions, args.iters, tile_p, e_sub,
-                variant=variant,
-            )
+            if variant == "lanes":
+                from polypolish_tpu.ops import vote_lanes
+
+                r, _ = bench_lanes(
+                    pos, vocab, args.positions, max(args.iters, 24),
+                    vote_lanes.R_SUB, vote_lanes.TILE_W, check=False,
+                )
+            else:
+                r, _, _ = bench_pallas(
+                    pos, vocab, args.positions, args.iters, tile_p, e_sub,
+                    variant=variant,
+                )
             rates.setdefault(variant, []).append(r)
         for variant, rs in rates.items():
             eprint(f"{variant}: " + ", ".join(f"{r/1e6:.0f}" for r in rs)
@@ -409,8 +548,8 @@ def main():
     ap.add_argument("--tile-p", type=int, default=None)
     ap.add_argument("--e-sub", type=int, default=None)
     ap.add_argument("--sweep", action="store_true")
-    ap.add_argument("--variant", default="split",
-                    choices=("unfused", "fused", "split"))
+    ap.add_argument("--variant", default="lanes",
+                    choices=("lanes", "unfused", "fused", "split"))
     ap.add_argument("--ab", action="store_true",
                     help="A/B all kernel variants in-process")
     ap.add_argument("--xla", action="store_true")
