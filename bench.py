@@ -526,6 +526,180 @@ def main_kernel(args):
     }))
 
 
+def main_device_profile(args):
+    """Steady-state device-path e2e with a transfer/compute/compile
+    phase split (round-3 deliverable): measures each stage of the
+    pallas/lanes polish path on the config-2 workload and projects the
+    PCIe-host e2e from the measured pieces.  Output: one JSON line with
+    the phase dict; byte-identity vs the host backend asserted."""
+    import jax
+    import jax.numpy as jnp
+
+    from polypolish_tpu.io.fasta import load_fasta
+    from polypolish_tpu.models.polisher import LanesPolisher
+    from polypolish_tpu.native import runs as native_runs
+    from polypolish_tpu.pipeline.polish import _pad_bucket
+    from polypolish_tpu.utils.compile_cache import enable_persistent_cache
+    from polypolish_tpu.utils.malloc_tuning import tune_malloc
+    from polypolish_tpu.vocab import Vocab
+
+    enable_persistent_cache()
+    tune_malloc()
+    assert jax.devices()[0].platform in ("tpu", "axon"), "needs a TPU"
+    asm, sams = ensure_workload(
+        args.genome_mb, args.coverage, args.read_len,
+        args.repeat_len, args.repeat_copies, args.seed,
+    )
+    phases = {}
+
+    t0 = time.time()
+    fa = load_fasta(asm)
+    names = [n for n, _, _ in fa]
+    lens = {n: len(s) for n, _, s in fa}
+    phases["load_fasta_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pr = native_runs.parse_runs(sams, names, lens, Vocab(), 10, False)
+    phases["parse_s"] = round(time.time() - t0, 3)
+    name = max(names, key=lambda n: lens[n])
+    seq_len = lens[name]
+    p_pad = _pad_bucket(seq_len)
+
+    t0 = time.time()
+    _, depth, _, thr = pr.fold(
+        name, want_counts=False, thresholds=(5, 0.5, 0.2)
+    )
+    phases["depth_thresholds_s"] = round(time.time() - t0, 3)
+
+    model = LanesPolisher(p_pad)
+    t0 = time.time()
+    pack = pr.lanes(name, model.r_sub, model.tile_w, num_positions=p_pad)
+    phases["lanes_pack_s"] = round(time.time() - t0, 3)
+    n_events = pack.n_events
+    upload_bytes = pack.vb.size + pack.block_tile.size * 4
+    phases["wire_bytes_per_event"] = round(pack.vb.size / n_events, 2)
+
+    # upload (measured separately from compute)
+    t0 = time.time()
+    d_vb = jax.device_put(pack.vb.view(np.int8))
+    d_bt = jax.device_put(pack.block_tile)
+    jax.block_until_ready((d_vb, d_bt))
+    phases["upload_s"] = round(time.time() - t0, 3)
+    up_bw = upload_bytes / max(phases["upload_s"], 1e-9)
+    phases["upload_bytes"] = int(upload_bytes)
+    phases["upload_MB_s"] = round(up_bw / 1e6, 1)
+
+    # kernel compute, chained (excludes dispatch noise floor)
+    n_blocks = pack.vb.shape[0] // model.r_sub
+    if n_blocks <= model.max_blocks:
+        def kernel_once(bt, v):
+            return model._single_jit(v, bt)
+    else:
+        m = model.max_blocks
+
+        def kernel_once(bt, v):
+            total = None
+            for s in range(n_blocks // m):
+                part = model._slab_jit(
+                    jax.lax.dynamic_slice_in_dim(
+                        v, s * m * model.r_sub, m * model.r_sub
+                    ),
+                    jax.lax.dynamic_slice_in_dim(bt, s * m, m),
+                )
+                total = part if total is None else total + part
+            return total
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_n(n, bt, v):
+        def body(_, acc):
+            bias = jnp.minimum(acc[0, 0], 0).astype(bt.dtype)
+            out = kernel_once(bt + bias, v)
+            return acc + out[:1, :1]
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((1, 1), jnp.int32))
+
+    t0 = time.time()
+    np.asarray(run_n(1, d_bt, d_vb))
+    phases["kernel_compile_s"] = round(time.time() - t0, 3)
+    iters = 24
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(run_n(1, d_bt, d_vb))
+        t1 = time.time() - t0
+        t0 = time.time()
+        np.asarray(run_n(1 + iters, d_bt, d_vb))
+        t2 = time.time() - t0
+        best = min(best, max((t2 - t1) / iters, 1e-9))
+    phases["vote_compute_s"] = round(best, 4)
+    phases["vote_G_votes_s"] = round(n_events / best / 1e9, 1)
+
+    # consensus + fetch of the decision arrays
+    i32max = np.int32(2**31 - 1)
+    valid_thr, invalid_thr, low_depth = thr
+    orig_id = np.zeros(seq_len, np.int32)
+
+    def pad(arr, fill, dtype):
+        out = np.full(p_pad, fill, dtype=dtype)
+        out[:seq_len] = arr
+        return jnp.asarray(out)
+
+    thr_args = (
+        pad(valid_thr, i32max, np.int32), pad(invalid_thr, i32max, np.int32),
+        pad(low_depth, True, bool), pad(orig_id, 0, np.int32),
+    )
+    counts = kernel_once(d_bt, d_vb)
+    jax.block_until_ready(counts)
+    t0 = time.time()
+    _c, new_id_j, status_j = model._finish_jit(counts, *thr_args)
+    new_id = np.array(new_id_j)
+    status = np.array(status_j)
+    phases["consensus_fetch_s"] = round(time.time() - t0, 3)
+    fetch_bytes = new_id.nbytes + status.nbytes
+    phases["fetch_bytes"] = int(fetch_bytes)
+    pack.close()
+    pr.close()
+
+    # cold + warm true e2e through the pipeline, byte-identity asserted
+    ref_out = io.StringIO()
+    from polypolish_tpu import log
+    from polypolish_tpu.pipeline.polish import polish
+
+    with log.quiet():
+        polish(None, 0.2, 0.5, 10, 5, False, asm, list(sams),
+               out=ref_out, backend="host")
+    for label, n_runs in (("cold", 1), ("warm", 2)):
+        times = []
+        for _ in range(n_runs):
+            out = io.StringIO()
+            t0 = time.time()
+            with log.quiet():
+                polish(None, 0.2, 0.5, 10, 5, False, asm, list(sams),
+                       out=out, backend="pallas")
+            times.append(time.time() - t0)
+            assert out.getvalue() == ref_out.getvalue(), \
+                "pallas FASTA != host FASTA"
+        phases[f"e2e_{label}_s"] = round(min(times), 2)
+
+    # PCIe projection: replace the measured tunnel transfer times with
+    # bytes / 16 GB/s (PCIe gen4 x8 conservative), keep everything else
+    pcie = 16e9
+    projected = (
+        phases["parse_s"] + phases["depth_thresholds_s"]
+        + phases["lanes_pack_s"] + upload_bytes / pcie
+        + phases["vote_compute_s"] + fetch_bytes / pcie + 0.2
+    )
+    phases["e2e_pcie_projected_s"] = round(projected, 2)
+    eprint(json.dumps(phases, indent=2))
+    print(json.dumps({
+        "metric": "device_e2e_phase_split",
+        "value": phases["e2e_warm_s"],
+        "unit": "s",
+        "vs_baseline": 0,
+        "phases": phases,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernel", action="store_true",
@@ -554,9 +728,13 @@ def main():
                     help="A/B all kernel variants in-process")
     ap.add_argument("--xla", action="store_true")
     ap.add_argument("--no-check", action="store_true")
+    ap.add_argument("--device-profile", action="store_true",
+                    help="steady-state device-path e2e with phase split")
     args = ap.parse_args()
 
-    if args.kernel or args.sweep or args.ab or args.xla:
+    if args.device_profile:
+        main_device_profile(args)
+    elif args.kernel or args.sweep or args.ab or args.xla:
         main_kernel(args)
     else:
         main_e2e(args)

@@ -4,7 +4,10 @@ from polypolish_tpu.parallel.shard import (
     bucket_events_for_mesh,
     make_sharded_polish_step,
     make_sharded_polish_step_pallas,
+    bucket_lanes_for_mesh,
+    make_sharded_polish_step_lanes,
     sharded_vote_consensus,
+    sharded_vote_consensus_lanes,
     sharded_vote_consensus_pallas,
 )
 
@@ -15,6 +18,9 @@ __all__ = [
     "bucket_events_for_mesh",
     "make_sharded_polish_step",
     "make_sharded_polish_step_pallas",
+    "bucket_lanes_for_mesh",
+    "make_sharded_polish_step_lanes",
     "sharded_vote_consensus",
+    "sharded_vote_consensus_lanes",
     "sharded_vote_consensus_pallas",
 ]

@@ -328,3 +328,154 @@ def sharded_vote_consensus_pallas(
         np.array(new_id)[:num_positions],
         np.array(status)[:num_positions],
     )
+
+
+def bucket_lanes_for_mesh(
+    pos: np.ndarray,
+    vocab: np.ndarray,
+    num_positions: int,
+    n_data: int,
+    n_pos: int,
+    r_sub: Optional[int] = None,
+    tile_w: Optional[int] = None,
+):
+    """Route events to (data, pos) shards and pack each shard into the
+    lane-aligned layout (ops/vote_lanes.py), padded to a common block
+    count.
+
+    Returns (vb (D, S, B*r_sub, tile_w) uint8, block_tile (D, S, B)
+    int32, p_shard, n_tiles).  Counts are psum-exact: any event->data
+    split is bitwise equivalent (integer adds commute), so events are
+    split round-robin like bucket_events_for_mesh.
+    """
+    from polypolish_tpu.ops import vote_lanes
+
+    r_sub = r_sub or vote_lanes.R_SUB
+    tile_w = tile_w or vote_lanes.TILE_W
+
+    mask = (vocab >= 0) & (vocab < DENSE_V) & (pos >= 0) & (pos < num_positions)
+    pos = np.asarray(pos[mask], dtype=np.int64)
+    vocab = np.asarray(vocab[mask], dtype=np.int32)
+
+    p_shard = -(-num_positions // n_pos)
+    p_shard = max(tile_w, -(-p_shard // tile_w) * tile_w)
+    n_tiles = p_shard // tile_w
+    shard_of = pos // p_shard
+    data_of = np.arange(pos.size, dtype=np.int64) % n_data
+
+    packs = []
+    max_blocks = 1
+    for d in range(n_data):
+        row = []
+        for s in range(n_pos):
+            sel = (data_of == d) & (shard_of == s)
+            vb, bt, nt = vote_lanes.prepare_lanes(
+                pos[sel] - s * p_shard, vocab[sel], p_shard,
+                r_sub=r_sub, tile_w=tile_w,
+            )
+            assert nt == n_tiles
+            row.append((vb, bt))
+            max_blocks = max(max_blocks, bt.shape[0])
+        packs.append(row)
+
+    b = max_blocks
+    vb_all = np.full((n_data, n_pos, b * r_sub, tile_w),
+                     vote_lanes.PAD_BYTE, dtype=np.uint8)
+    bt_all = np.full((n_data, n_pos, b), n_tiles - 1, dtype=np.int32)
+    for d in range(n_data):
+        for s in range(n_pos):
+            vb, bt = packs[d][s]
+            nb = bt.shape[0]
+            vb_all[d, s, : nb * r_sub] = vb
+            bt_all[d, s, :nb] = bt
+    return vb_all, bt_all, p_shard, n_tiles
+
+
+def make_sharded_polish_step_lanes(
+    mesh: Mesh, p_shard: int, n_tiles: int,
+    r_sub: Optional[int] = None, tile_w: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """SPMD step with the lane-aligned VPU vote kernel per shard (the
+    round-3 flagship multi-chip path).  Same contract as
+    make_sharded_polish_step but events arrive as lane-packed byte
+    blocks (see bucket_lanes_for_mesh): each device runs the lanes
+    kernel on its block slab, counts psum over 'data', consensus per
+    position shard."""
+    from polypolish_tpu.ops import vote_lanes
+
+    r_sub = r_sub or vote_lanes.R_SUB
+    tile_w = tile_w or vote_lanes.TILE_W
+    if interpret is None:
+        interpret = vote_lanes._default_interpret()
+
+    def local_step(vb, block_tile,
+                   valid_thr, invalid_thr, low_depth, orig_id):
+        counts = vote_lanes._lanes_call(
+            vb.reshape(-1, tile_w),
+            block_tile.reshape(-1),
+            n_tiles=n_tiles, interpret=interpret,
+            r_sub=r_sub, tile_w=tile_w,
+        )[:, :p_shard]
+        counts = jax.lax.psum(counts, "data")
+        new_id, status = consensus_dense_core(
+            counts, valid_thr, invalid_thr, low_depth, orig_id
+        )
+        return counts, new_id, status
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("data", "pos", None, None),
+            P("data", "pos", None),
+            P("pos"), P("pos"), P("pos"), P("pos"),
+        ),
+        out_specs=(P(None, "pos"), P("pos"), P("pos")),
+        # see make_sharded_polish_step_pallas: pallas out_shape hides
+        # varying mesh axes from the vma checker
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_vote_consensus_lanes(
+    mesh: Mesh,
+    pos: np.ndarray,
+    vocab: np.ndarray,
+    num_positions: int,
+    valid_thr: np.ndarray,
+    invalid_thr: np.ndarray,
+    low_depth: np.ndarray,
+    orig_id: np.ndarray,
+    interpret: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Like sharded_vote_consensus, but each shard votes through the
+    lane-aligned VPU kernel (the round-3 flagship multi-chip path)."""
+    import jax.numpy as jnp
+
+    n_data, n_pos = mesh.devices.shape
+    vb, bt, p_shard, n_tiles = bucket_lanes_for_mesh(
+        pos, vocab, num_positions, n_data, n_pos
+    )
+    p_total = p_shard * n_pos
+
+    def pad_p(arr, fill):
+        out = np.full(p_total, fill, dtype=arr.dtype)
+        out[: arr.shape[0]] = arr
+        return out
+
+    step = make_sharded_polish_step_lanes(mesh, p_shard, n_tiles,
+                                          interpret=interpret)
+    counts, new_id, status = step(
+        jnp.asarray(vb.view(np.int8)), jnp.asarray(bt),
+        jnp.asarray(pad_p(np.asarray(valid_thr, np.int32), 2**31 - 1)),
+        jnp.asarray(pad_p(np.asarray(invalid_thr, np.int32), 2**31 - 1)),
+        jnp.asarray(pad_p(np.asarray(low_depth, bool), True)),
+        jnp.asarray(pad_p(np.asarray(orig_id, np.int32), 0)),
+    )
+    return (
+        np.array(counts)[:, :num_positions],
+        np.array(new_id)[:num_positions],
+        np.array(status)[:num_positions],
+    )

@@ -117,3 +117,33 @@ def test_sharded_empty_events():
     )
     assert counts.sum() == 0
     np.testing.assert_array_equal(new_id, orig_id)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_lanes_matches_host(mesh_shape):
+    """Round-3 flagship multi-chip path: lanes kernel per shard + exact
+    integer psum must be bitwise equal to the single-device host fold
+    across mesh shapes."""
+    from polypolish_tpu.parallel import make_mesh, sharded_vote_consensus_lanes
+
+    rng = np.random.default_rng(23)
+    P = 5000
+    n_ev = 60_000
+    pos = rng.integers(0, P, n_ev).astype(np.int64)
+    vocab = rng.integers(0, DENSE_V + 3, n_ev).astype(np.int32)
+    weight = np.ones(n_ev)
+    depth = depth_host(pos, weight, P)
+    valid_thr, invalid_thr, low_depth = compute_thresholds(depth, 5, 0.5, 0.2)
+    orig_id = rng.integers(1, 5, P).astype(np.int32)
+
+    counts_ref = dense_counts_host(pos, vocab, P)
+    new_id_ref, status_ref = consensus_dense_numpy(
+        counts_ref, valid_thr, invalid_thr, low_depth, orig_id
+    )
+    mesh = make_mesh(*mesh_shape)
+    counts, new_id, status = sharded_vote_consensus_lanes(
+        mesh, pos, vocab, P, valid_thr, invalid_thr, low_depth, orig_id
+    )
+    np.testing.assert_array_equal(counts, counts_ref)
+    np.testing.assert_array_equal(new_id, new_id_ref)
+    np.testing.assert_array_equal(status, status_ref)
