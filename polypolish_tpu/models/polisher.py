@@ -190,13 +190,23 @@ class LanesPolisher:
 
         @jax.jit
         def _finish(counts, valid_thr, invalid_thr, low_depth, orig_id):
-            from polypolish_tpu.ops.consensus import consensus_dense_core
+            from polypolish_tpu.ops.consensus import (
+                ST_CHANGED,
+                consensus_dense_core,
+            )
 
             c = counts[:, : self.num_positions]
             new_id, status = consensus_dense_core(
                 c, valid_thr, invalid_thr, low_depth, orig_id
             )
-            return c, new_id, status
+            # compact fetch: status < 6 always fits uint8, and new_id
+            # differs from orig_id only at CHANGED positions, where the
+            # adopted id is a dense id < 8 — so ship (adopted, status)
+            # as uint8 (8x smaller device->host transfer) and let the
+            # host reconstruct new_id from its own orig_id (which may
+            # hold interned ids >= 256 for odd assembly chars).
+            adopted = jnp.where(status == ST_CHANGED, new_id, 0)
+            return c, adopted.astype(jnp.uint8), status.astype(jnp.uint8)
 
         self._slab_jit = _slab
         self._single_jit = _single

@@ -599,12 +599,17 @@ def _polish_device_runs(
             name, model.r_sub, model.tile_w, num_positions=p_pad
         )
         if pack is not None:
-            counts_j, new_id_j, status_j = model.forward_pack(
+            counts_j, adopted_u8, status_u8 = model.forward_pack(
                 pack.vb, pack.block_tile, *thr_args
             )
             counts = counts_j[:, :seq_len]
-            new_id = np.array(new_id_j)[:seq_len]
-            status = np.array(status_j)[:seq_len]
+            # compact uint8 fetch; new_id reconstructed host-side (see
+            # LanesPolisher._finish): CHANGED adopts the dense id, every
+            # keep status keeps the (possibly sparse) original id
+            status = np.array(status_u8)[:seq_len].astype(np.int32)
+            adopted = np.array(adopted_u8)[:seq_len].astype(np.int32)
+            new_id = np.where(status == ST_CHANGED, adopted, orig_id)
+            new_id = new_id.astype(np.int32)
             # outputs are materialised -> uploads finished; safe to
             # release the native pack buffer
             pack.close()
