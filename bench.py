@@ -558,6 +558,7 @@ def main_device_profile(args):
     lens = {n: len(s) for n, _, s in fa}
     phases["load_fasta_s"] = round(time.time() - t0, 3)
 
+    eprint("[device-profile] parsing ...")
     t0 = time.time()
     pr = native_runs.parse_runs(sams, names, lens, Vocab(), 10, False)
     phases["parse_s"] = round(time.time() - t0, 3)
@@ -618,9 +619,11 @@ def main_device_profile(args):
 
         return jax.lax.fori_loop(0, n, body, jnp.zeros((1, 1), jnp.int32))
 
+    eprint("[device-profile] compiling chained kernel ...")
     t0 = time.time()
     np.asarray(run_n(1, d_bt, d_vb))
     phases["kernel_compile_s"] = round(time.time() - t0, 3)
+    eprint(f"[device-profile] kernel compiled in {phases['kernel_compile_s']}s")
     iters = 24
     best = float("inf")
     for _ in range(3):
@@ -648,6 +651,7 @@ def main_device_profile(args):
         pad(valid_thr, i32max, np.int32), pad(invalid_thr, i32max, np.int32),
         pad(low_depth, True, bool), pad(orig_id, 0, np.int32),
     )
+    eprint("[device-profile] consensus + fetch ...")
     counts = kernel_once(d_bt, d_vb)
     jax.block_until_ready(counts)
     t0 = time.time()
@@ -668,6 +672,7 @@ def main_device_profile(args):
     with log.quiet():
         polish(None, 0.2, 0.5, 10, 5, False, asm, list(sams),
                out=ref_out, backend="host")
+    eprint("[device-profile] full pipeline e2e runs ...")
     for label, n_runs in (("cold", 1), ("warm", 2)):
         times = []
         for _ in range(n_runs):
@@ -677,6 +682,7 @@ def main_device_profile(args):
                 polish(None, 0.2, 0.5, 10, 5, False, asm, list(sams),
                        out=out, backend="pallas")
             times.append(time.time() - t0)
+            eprint(f"[device-profile] e2e {label} run: {times[-1]:.2f}s")
             assert out.getvalue() == ref_out.getvalue(), \
                 "pallas FASTA != host FASTA"
         phases[f"e2e_{label}_s"] = round(min(times), 2)

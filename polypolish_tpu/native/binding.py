@@ -132,6 +132,18 @@ class _PPLanesView(ctypes.Structure):
     ]
 
 
+class _PPLanesMeshView(ctypes.Structure):
+    _fields_ = [
+        ("vb", ctypes.POINTER(ctypes.c_uint8)),
+        ("block_tile", ctypes.POINTER(ctypes.c_int32)),
+        ("n_blocks", ctypes.c_int64),
+        ("n_tiles", ctypes.c_int64),
+        ("p_shard", ctypes.c_int64),
+        ("n_events", ctypes.c_int64),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
 class _PPResultView(ctypes.Structure):
     _fields_ = [
         ("contig_id", ctypes.POINTER(ctypes.c_int32)),
@@ -303,6 +315,19 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.pp_free_lanes.argtypes = [ctypes.POINTER(_PPLanesView)]
         lib.pp_free_lanes.restype = None
+        lib.pp_lanes_mesh.restype = ctypes.POINTER(_PPLanesMeshView)
+        lib.pp_lanes_mesh.argtypes = [
+            ctypes.POINTER(_PPRunsView),
+            ctypes.c_int32,                     # contig id
+            ctypes.c_int64,                     # P
+            ctypes.c_int32,                     # r_sub
+            ctypes.c_int32,                     # tile_w
+            ctypes.c_int32,                     # n_data
+            ctypes.c_int32,                     # n_pos
+            ctypes.c_int32,                     # n_threads
+        ]
+        lib.pp_free_lanes_mesh.argtypes = [ctypes.POINTER(_PPLanesMeshView)]
+        lib.pp_free_lanes_mesh.restype = None
         lib.pp_consensus_dense.restype = None
         lib.pp_consensus_dense.argtypes = [
             ctypes.POINTER(ctypes.c_int32),     # counts (8, P) row-major

@@ -234,6 +234,34 @@ class ParsedRuns:
             return None
         return LanesPack(self._lib, lv, r_sub, tile_w)
 
+    def lanes_mesh(self, contig_name: str, n_data: int, n_pos: int,
+                   r_sub: int, tile_w: int, n_threads: int = 0,
+                   num_positions: Optional[int] = None):
+        """One-call lane packs for ALL (data, pos) mesh shards (the
+        round-3 answer to the per-(d,s) Python prepare loop): returns
+        (vb (D, S, B*r_sub, tile_w) uint8 copy, block_tile (D, S, B)
+        int32 copy, p_shard, n_tiles) or None."""
+        cid = self.contig_names.index(contig_name)
+        P = num_positions if num_positions is not None \
+            else self.contig_lens[contig_name]
+        mv = self._lib.pp_lanes_mesh(
+            self._view, cid, P, r_sub, tile_w, n_data, n_pos, n_threads
+        )
+        try:
+            c = mv.contents
+            if int(c.n_tiles) == 0 or not c.vb:
+                return None
+            B = int(c.n_blocks)
+            vb = _as_np(
+                c.vb, n_data * n_pos * B * r_sub * tile_w, np.uint8
+            ).copy().reshape(n_data, n_pos, B * r_sub, tile_w)
+            bt = _as_np(
+                c.block_tile, n_data * n_pos * B, np.int32
+            ).copy().reshape(n_data, n_pos, B)
+            return vb, bt, int(c.p_shard), int(c.n_tiles)
+        finally:
+            self._lib.pp_free_lanes_mesh(mv)
+
     # -- raw access (tests, sharded backend) ---------------------------
     def raw(self):
         """Zero-copy numpy views of the run arrays (valid until close):
