@@ -272,6 +272,26 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pp_free_runs.restype = None
         lib.pp_madvise_huge.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.pp_madvise_huge.restype = None
+        lib.pp_fold_window.restype = None
+        lib.pp_fold_window.argtypes = [
+            ctypes.POINTER(_PPRunsView),
+            ctypes.c_int32,                     # contig id
+            ctypes.c_int64,                     # w_lo
+            ctypes.c_int64,                     # w_hi
+            ctypes.c_void_p,                    # counts_out (8, W)
+            ctypes.POINTER(ctypes.c_double),    # depth_out (W)
+            ctypes.c_int32,                     # parallel
+            ctypes.c_int32,                     # min_depth
+            ctypes.c_double,                    # fraction_valid
+            ctypes.c_double,                    # fraction_invalid
+            ctypes.c_void_p,                    # valid_out (W)
+            ctypes.c_void_p,                    # invalid_out (W)
+            ctypes.c_void_p,                    # low_out (W)
+        ]
+        lib.pp_sum_f64_seq_init.restype = ctypes.c_double
+        lib.pp_sum_f64_seq_init.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ]
         lib.pp_sum_f64_seq.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ]
@@ -534,6 +554,17 @@ def consensus_dense_native(counts, valid_thr, invalid_thr, low_depth,
         n_threads,
     )
     return new_id, status
+
+
+def sum_f64_seq_init(arr, init: float) -> float:
+    """Strict sequential left-fold continuing from ``init`` (see
+    pp_sum_f64_seq_init; windowed-fold depth totals)."""
+    lib = load_library()
+    arr = np.ascontiguousarray(arr, dtype=np.float64)
+    return float(lib.pp_sum_f64_seq_init(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), arr.size,
+        float(init),
+    ))
 
 
 def sum_f64_seq(arr) -> float:

@@ -153,6 +153,35 @@ class ParsedRuns:
                                            low.view(np.bool_))
         return counts, depth, sparse
 
+    def fold_window(self, contig_name: str, w_lo: int, w_hi: int,
+                    thresholds, parallel: bool = True):
+        """Window-sized fold for huge contigs: counts (8, W), depth (W)
+        f64 and thresholds for positions [w_lo, w_hi) only — peak
+        working set O(W) instead of O(P) (pp_fold_window; the sparse
+        tier comes from .sparse() once, outside the window loop).
+        Buffers are pooled per window shape."""
+        from polypolish_tpu.native import binding
+
+        cid = self.contig_names.index(contig_name)
+        W = w_hi - w_lo
+        counts = _pooled_buffer(("w_counts", W), (DENSE_V, W), np.int32)
+        depth = _pooled_buffer(("w_depth", W), (W,), np.float64)
+        valid = _pooled_buffer(("w_valid", W), (W,), np.int32)
+        invalid = _pooled_buffer(("w_invalid", W), (W,), np.int32)
+        low = _pooled_buffer(("w_low", W), (W,), np.uint8)
+        min_depth, f_valid, f_invalid = thresholds
+        self._lib.pp_fold_window(
+            self._view, cid, w_lo, w_hi,
+            counts.ctypes.data_as(ctypes.c_void_p),
+            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            1 if parallel else 0,
+            int(min_depth), float(f_valid), float(f_invalid),
+            valid.ctypes.data_as(ctypes.c_void_p),
+            invalid.ctypes.data_as(ctypes.c_void_p),
+            low.ctypes.data_as(ctypes.c_void_p),
+        )
+        return counts, depth, (valid, invalid, low.view(np.bool_))
+
     def sparse(self, contig_name: str):
         """Sparse-tier counts (pos i64, vid i64, cnt i64, ascending) for
         one contig WITHOUT a dense fold.  Valid because with a fresh

@@ -414,6 +414,17 @@ def polish_one_sequence(
 
     orig_id = _orig_ids_for_seq(contig.seq, vocab)
 
+    if (runs_handle is not None and backend == "host"
+            and debug_file is None and seq_len >= _window_min()
+            and runs_handle.base_vocab_len <= DENSE_V):
+        # huge-contig streaming path: O(window) working set instead of
+        # O(P) full-length buffers (the 100 Mb single-host run was
+        # minor-fault-bound over ~9 GB of buffers; see BENCH_NOTES.md)
+        return _polish_host_runs_windowed(
+            runs_handle, name, description, contig.seq, orig_id, vocab,
+            out, min_depth, fraction_valid, fraction_invalid, use_native,
+        )
+
     if runs_handle is not None and backend == "host":
         from polypolish_tpu.native import binding
 
@@ -508,6 +519,93 @@ def finish_sequence(
     changed_count = int(np.count_nonzero(status == ST_CHANGED))
     print_polishing_info(
         len(seq), total_depth, zero_depth_count, changed_count
+    )
+    return len(polished_seq)
+
+
+def _window_min() -> int:
+    """Contig length above which the host path streams position windows
+    (POLYPOLISH_TPU_WINDOW_MIN; 0 disables windowing)."""
+    import os
+
+    try:
+        v = int(os.environ.get("POLYPOLISH_TPU_WINDOW_MIN", 32_000_000))
+    except ValueError:
+        v = 32_000_000
+    return v if v > 0 else (1 << 62)
+
+
+def _window_size() -> int:
+    import os
+
+    try:
+        return max(1 << 20,
+                   int(os.environ.get("POLYPOLISH_TPU_WINDOW", 8_000_000)))
+    except ValueError:
+        return 8_000_000
+
+
+def _polish_host_runs_windowed(
+    runs_handle, name, description, seq, orig_id, vocab, out,
+    min_depth, fraction_valid, fraction_invalid, use_native,
+) -> int:
+    """Streaming host path for huge contigs: fold + consensus + stats in
+    position windows of O(W) memory (pp_fold_window), with the
+    reference's exact semantics — depth totals stay one strict f64
+    left-fold via a carried accumulator, integer counts/consensus are
+    window-local, and the sparse tier (from the overflow list) is
+    overridden inside the window where its counts columns are resident.
+    Reference scope: polish.rs:157-227 at 100 Mb scale."""
+    from polypolish_tpu.native import binding
+
+    seq_len = len(seq)
+    sp_pos, sp_vid, sp_cnt = runs_handle.sparse(name)
+    W = _window_size()
+    thresholds = (min_depth, fraction_valid, fraction_invalid)
+
+    changed_pos: List[np.ndarray] = []
+    changed_vid: List[np.ndarray] = []
+    total_depth = 0.0
+    zero_depth_count = 0
+    changed_count = 0
+    for w_lo in range(0, seq_len, W):
+        w_hi = min(seq_len, w_lo + W)
+        counts_w, depth_w, thr_w = runs_handle.fold_window(
+            name, w_lo, w_hi, thresholds
+        )
+        valid_w, invalid_w, low_w = thr_w
+        orig_w = orig_id[w_lo:w_hi]
+        new_id_w, status_w = binding.consensus_dense_native(
+            counts_w, valid_w, invalid_w, low_w, orig_w
+        )
+        i0, i1 = np.searchsorted(sp_pos, [w_lo, w_hi])
+        if i1 > i0:
+            consensus_sparse_override(
+                counts_w, sp_pos[i0:i1] - w_lo, sp_vid[i0:i1],
+                sp_cnt[i0:i1], valid_w, invalid_w, depth_w, min_depth,
+                orig_w, new_id_w, status_w,
+            )
+        ch = np.nonzero(status_w == ST_CHANGED)[0]
+        if ch.size:
+            changed_pos.append((ch + w_lo).astype(np.int64))
+            changed_vid.append(new_id_w[ch].copy())
+            changed_count += int(ch.size)
+        # strict left-fold continuation (order parity with polish.rs:177)
+        if use_native:
+            total_depth = binding.sum_f64_seq_init(depth_w, total_depth)
+        else:
+            for v in depth_w:
+                total_depth += float(v)
+        zero_depth_count += int(np.count_nonzero(depth_w == 0.0))
+
+    cp = (np.concatenate(changed_pos) if changed_pos
+          else np.empty(0, np.int64))
+    cv = (np.concatenate(changed_vid) if changed_vid
+          else np.empty(0, np.int32))
+    polished_seq = _apply_edits_sparse(seq, cp, cv, vocab)
+    write_fasta_record(out, name, description, polished_seq)
+    print_polishing_info(
+        seq_len, total_depth, zero_depth_count, changed_count
     )
     return len(polished_seq)
 
@@ -721,18 +819,24 @@ def _apply_edits(seq: str, status: np.ndarray, new_id: np.ndarray, vocab: Vocab)
     (polish.rs:170-188) but O(changes) instead of O(len).
     """
     changed = np.nonzero(status == ST_CHANGED)[0]
-    if changed.size == 0:
+    return _apply_edits_sparse(seq, changed, new_id[changed], vocab)
+
+
+def _apply_edits_sparse(seq: str, changed_pos, changed_vid, vocab: Vocab) -> str:
+    """_apply_edits from an explicit (positions, adopted ids) edit list
+    (the windowed path collects edits per window instead of holding
+    full-length status/new_id arrays)."""
+    if changed_pos.size == 0:
         # The reference strips "-" from the whole polished string
         # (polish.rs:188), which also removes literal '-' chars that were
         # present in the assembly itself.
         return seq.replace("-", "") if "-" in seq else seq
     parts: List[str] = []
     prev = 0
-    for p in changed.tolist():
+    for p, vid in zip(changed_pos.tolist(), changed_vid.tolist()):
         parts.append(seq[prev:p])
-        vid = int(new_id[p])
         if vid != 0:
-            parts.append(vocab.string(vid))
+            parts.append(vocab.string(int(vid)))
         prev = p + 1
     parts.append(seq[prev:])
     polished = "".join(parts)
