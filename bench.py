@@ -706,6 +706,110 @@ def main_device_profile(args):
     }))
 
 
+
+def main_config5(args):
+    """Config-5 (BASELINE.md): a batch of small genomes polished
+    data-parallel through `pipeline/batch.py`.  Generates N genomes
+    once (cached), measures batch genomes/min against per-genome ppref
+    wall time, exercises --resume, and asserts byte-identity per
+    genome.  One JSON line: genomes/min + vs_baseline."""
+    import shutil
+    import subprocess
+
+    from polypolish_tpu.native import replica
+    from polypolish_tpu.pipeline.batch import polish_batch
+    from polypolish_tpu.utils.malloc_tuning import tune_malloc
+
+    tune_malloc()
+    assert replica.build() is not None, "cannot build ppref"
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    import workload
+
+    n = args.n_genomes
+    gdir = os.path.join(CACHE_DIR, f"config5_{n}_{args.seed}")
+    jobs = []
+    if not os.path.exists(os.path.join(gdir, "MANIFEST.tsv")):
+        eprint(f"generating {n} genomes ...")
+        os.makedirs(gdir, exist_ok=True)
+        t0 = time.time()
+        lines = []
+        for i in range(n):
+            fasta, sams, info = workload.make_paired_case(
+                seed=args.seed * 10_000 + i, genome_len=500_000,
+                coverage=25, read_len=150, repeat_len=8_000,
+                repeat_copies=2,
+            )
+            asm = os.path.join(gdir, f"g{i}.fasta")
+            with open(asm, "w") as f:
+                f.write(fasta)
+            sam_paths = []
+            for j, s in enumerate(sams):
+                p = os.path.join(gdir, f"g{i}_{j}.sam")
+                with open(p, "w") as f:
+                    f.write(s)
+                sam_paths.append(p)
+            lines.append(
+                f"{asm}\t{os.path.join(gdir, f'g{i}.out.fasta')}\t"
+                + ",".join(sam_paths)
+            )
+        with open(os.path.join(gdir, "MANIFEST.tsv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        eprint(f"  generated in {time.time()-t0:.0f}s")
+    from polypolish_tpu.pipeline.batch import parse_manifest
+
+    jobs = parse_manifest(os.path.join(gdir, "MANIFEST.tsv"))
+
+    # baseline: ppref one genome at a time (single core, the reference
+    # deployment model), on a sample of genomes, extrapolated
+    sample = jobs[: min(args.baseline_runs * 3, len(jobs))]
+    t0 = time.time()
+    ref_out = {}
+    for asm, _outp, sams in sample:
+        proc = replica.run_polish(asm, sams)
+        assert proc.returncode == 0
+        ref_out[asm] = proc.stdout
+    base_per_genome = (time.time() - t0) / len(sample)
+    eprint(f"ppref: {base_per_genome:.2f} s/genome over {len(sample)} "
+           f"sampled genomes -> {60/base_per_genome:.1f} genomes/min")
+
+    for outp in [j[1] for j in jobs]:
+        if os.path.exists(outp):
+            os.remove(outp)
+    t0 = time.time()
+    results = polish_batch(jobs, backend="host")
+    batch_s = time.time() - t0
+    n_err = sum(1 for r in results if "error" in r)
+    assert n_err == 0, f"{n_err} genomes failed"
+    gpm = len(jobs) / batch_s * 60
+
+    # byte-identity vs ppref on the sampled genomes
+    for asm, outp, _sams in sample:
+        with open(outp, "rb") as f:
+            assert f.read() == ref_out[asm], f"{outp} != ppref output"
+
+    # --resume: drop two outputs, re-run, only those two re-polish
+    removed = [jobs[1][1], jobs[3][1]] if len(jobs) > 3 else [jobs[0][1]]
+    for p in removed:
+        os.remove(p)
+    t0 = time.time()
+    results2 = polish_batch(jobs, backend="host", resume=True)
+    resume_s = time.time() - t0
+    n_skipped = sum(1 for r in results2 if r.get("skipped"))
+    assert n_skipped == len(jobs) - len(removed), (n_skipped, len(jobs))
+    eprint(f"resume: re-polished {len(removed)} missing outputs in "
+           f"{resume_s:.1f}s ({n_skipped} skipped)")
+
+    eprint(f"batch: {len(jobs)} genomes in {batch_s:.1f}s = "
+           f"{gpm:.1f} genomes/min (ppref: {60/base_per_genome:.1f})")
+    print(json.dumps({
+        "metric": "batch_genomes_per_min",
+        "value": round(gpm, 1),
+        "unit": "genomes/min",
+        "vs_baseline": round(gpm / (60 / base_per_genome), 2),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernel", action="store_true",
@@ -736,9 +840,14 @@ def main():
     ap.add_argument("--no-check", action="store_true")
     ap.add_argument("--device-profile", action="store_true",
                     help="steady-state device-path e2e with phase split")
+    ap.add_argument("--config5", action="store_true",
+                    help="batch-of-genomes mode (BASELINE.md config 5)")
+    ap.add_argument("--n-genomes", type=int, default=100)
     args = ap.parse_args()
 
-    if args.device_profile:
+    if args.config5:
+        main_config5(args)
+    elif args.device_profile:
         main_device_profile(args)
     elif args.kernel or args.sweep or args.ab or args.xla:
         main_kernel(args)
