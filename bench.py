@@ -800,6 +800,41 @@ def main_config5(args):
     eprint(f"resume: re-polished {len(removed)} missing outputs in "
            f"{resume_s:.1f}s ({n_skipped} skipped)")
 
+    # 2-process --shard-across-hosts over a localhost jax.distributed
+    # coordinator (the DCN batch scale-out, executed for real)
+    import socket
+    import subprocess
+
+    s = socket.socket(); s.bind(("localhost", 0))
+    port = s.getsockname()[1]; s.close()
+    for outp in [j[1] for j in jobs]:
+        if os.path.exists(outp):
+            os.remove(outp)
+    t0 = time.time()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu", "POLYPOLISH_TPU_PLAIN_LOG": "1",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "polypolish_tpu", "batch",
+             os.path.join(gdir, "MANIFEST.tsv"), "--shard-across-hosts"],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ))
+    rcs = [p.wait(timeout=1200) for p in procs]
+    two_proc_s = time.time() - t0
+    assert all(rc == 0 for rc in rcs), rcs
+    missing = [j[1] for j in jobs if not os.path.exists(j[1])]
+    assert not missing, f"2-proc batch left {len(missing)} outputs missing"
+    for asm, outp, _sams in sample:
+        with open(outp, "rb") as f:
+            assert f.read() == ref_out[asm], f"{outp} != ppref (2-proc)"
+    eprint(f"2-process --shard-across-hosts: {len(jobs)} genomes in "
+           f"{two_proc_s:.1f}s = {len(jobs)/two_proc_s*60:.1f} genomes/min")
+
     eprint(f"batch: {len(jobs)} genomes in {batch_s:.1f}s = "
            f"{gpm:.1f} genomes/min (ppref: {60/base_per_genome:.1f})")
     print(json.dumps({
