@@ -113,3 +113,19 @@ def test_lanes_matches_mxu_kernel():
             dense_counts_pallas(pos, vocab, 1500, fused=variant)
         )
         np.testing.assert_array_equal(lanes, mxu)
+
+
+def test_lanes_polisher_slab_uploads():
+    """LanesPolisher.vote_counts multi-slab path (slab-wise device_put
+    + per-slab kernel + masked accumulate) is bitwise equal to the
+    host fold."""
+    from polypolish_tpu.models.polisher import LanesPolisher
+
+    pos, vocab = rand_events(40000, 3000, 41, sparse_frac=0.05, skew=True)
+    m = LanesPolisher(3000, r_sub=8, tile_w=128)
+    m.max_blocks = 8  # force many slabs
+    vb, bt, n_tiles = prepare_lanes(pos, vocab, 3000, r_sub=8, tile_w=128)
+    assert bt.shape[0] % m.max_blocks == 0
+    got = np.asarray(m.vote_counts(vb, bt))[:, :3000]
+    want = dense_counts_host(pos, vocab, 3000)
+    np.testing.assert_array_equal(got, want)
