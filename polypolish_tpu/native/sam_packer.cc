@@ -1088,7 +1088,34 @@ struct RunsResult {
                     (int32_t)r};
         max_c = std::max(max_c, run_contig[r]);
       }
-      std::sort(keyed.begin(), keyed.end());
+      // LSD radix sort on (contig << 32 | start): O(n) with 2-4 linear
+      // passes instead of std::sort's n log n compares — the sort was
+      // ~30% of the first fold at the 4-7 M-run bench scales.  Stable,
+      // so equal keys keep stream order (bit-identical downstream).
+      {
+        std::vector<std::pair<int64_t, int32_t>> tmp(n);
+        auto pass = [&](int shift) {
+          std::array<uint32_t, 65536> cnt{};
+          for (size_t r = 0; r < n; ++r)
+            ++cnt[(size_t)((uint64_t)keyed[r].first >> shift) & 0xFFFF];
+          uint32_t acc = 0;
+          for (auto& c : cnt) {
+            uint32_t v = c;
+            c = acc;
+            acc += v;
+          }
+          for (size_t r = 0; r < n; ++r)
+            tmp[cnt[(size_t)((uint64_t)keyed[r].first >> shift) &
+                    0xFFFF]++] = keyed[r];
+          keyed.swap(tmp);
+        };
+        pass(0);
+        pass(16);
+        if (max_c > 0) {
+          pass(32);
+          if (max_c >= (1 << 16)) pass(48);
+        }
+      }
       sruns.reserve(n);
       madvise_huge(sruns.data(), n * sizeof(SortedRun));
       sruns.resize(n);
