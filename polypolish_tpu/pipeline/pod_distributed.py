@@ -55,6 +55,19 @@ from polypolish_tpu.vocab import DENSE_V, Vocab
 # collective helpers
 # ---------------------------------------------------------------------
 
+_MODEL_CACHE: dict = {}
+
+
+def _device_votes() -> bool:
+    """Pod device-vote mode: each process counts its shard's votes on
+    its own accelerator with the lanes kernel instead of the host fold
+    (POLYPOLISH_TPU_POD_DEVICE_VOTES=1; the natural setting on a real
+    TPU pod where every process owns local chips)."""
+    import os
+
+    return os.environ.get("POLYPOLISH_TPU_POD_DEVICE_VOTES", "0") == "1"
+
+
 def _allgather_var(arr: np.ndarray) -> List[np.ndarray]:
     """All-gather a 1-D array whose length differs per process.
 
@@ -247,7 +260,28 @@ def polish_pod_distributed(
                 log.eprint(
                     f"Polishing {name} ({log.thousands(len(seq))} bp):"
                 )
-                counts_local, _d, (sp, sv, sc) = shard.fold(name)
+                if _device_votes():
+                    # TPU-native pod path: each process votes its SAM
+                    # shard on ITS OWN chip with the lanes kernel
+                    # (1 B/event upload, ops/vote_lanes.py) and only the
+                    # (8, P) integer counts ride the psum — the host
+                    # fold never materialises.  Counts are exactly
+                    # associative, so this is bitwise-identical to the
+                    # host fold (asserted in tests/test_pod_distributed).
+                    from polypolish_tpu.models.polisher import LanesPolisher
+
+                    model = _MODEL_CACHE.get(("lanes", P))
+                    if model is None:
+                        model = LanesPolisher(P)
+                        _MODEL_CACHE[("lanes", P)] = model
+                    pack = shard.lanes(name, model.r_sub, model.tile_w)
+                    counts_local = np.asarray(
+                        model.vote_counts(pack.vb, pack.block_tile)
+                    )[:, :P]
+                    pack.close()
+                    _d, (sp, sv, sc) = None, shard.sparse(name)
+                else:
+                    counts_local, _d, (sp, sv, sc) = shard.fold(name)
                 counts = _psum_i32(counts_local)
 
                 # sparse tier: remap local ids to the merged vocab, then

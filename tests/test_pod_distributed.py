@@ -150,3 +150,23 @@ def test_distributed_pod_two_files_multi_contig(tmp_path):
     got = _distributed(tmp_path, str(asm), sams, 2, "mc")
     assert got[0] == ref[0]
     assert got[1] == ref[1]
+
+
+def test_distributed_pod_device_votes(tmp_path, monkeypatch):
+    """POLYPOLISH_TPU_POD_DEVICE_VOTES=1: every process votes its shard
+    through the lanes kernel (interpret mode here; each process's own
+    chip on a real pod) before the psum — output must stay byte-
+    identical to single-process host polish."""
+    monkeypatch.setenv("POLYPOLISH_TPU_POD_DEVICE_VOTES", "1")
+    fasta, sam_text = synth.make_polish_case(
+        seed=53, genome_len=600, n_reads=450, read_len=45, err=0.07,
+        multi_frac=0.4,
+    )
+    asm = tmp_path / "asm.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "aln.sam"
+    sam.write_text(sam_text)
+    ref = _single(tmp_path, str(asm), [str(sam)], "dv")
+    got = _distributed(tmp_path, str(asm), [str(sam)], 2, "dv")
+    assert got[0] == ref[0]
+    assert got[1] == ref[1]
