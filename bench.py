@@ -304,9 +304,10 @@ def bench_pallas(pos, vocab, num_positions, iters, tile_p, e_sub,
 # 819 GB/s HBM; VPU = 8x128 lanes x 4 ALUs at ~940 MHz)
 HBM_PEAK_BYTES_PER_S = 819e9
 VPU_PEAK_LANE_OPS_PER_S = 8 * 128 * 4 * 0.94e9
-# VPU lane-ops per packed slot in the lanes kernel body: 8 vocab values
-# x (compare + widen/select + reduce-tree share) — cost-model estimate
-LANES_LANE_OPS_PER_SLOT = 24
+# VPU lane-ops per slot for the packed lanes body (widen + two packed
+# accumulator builds + two sublane reduce trees, amortised) — a crude
+# cost-model estimate used only for the %VPU-peak roofline field
+LANES_LANE_OPS_PER_SLOT = 16
 
 
 def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,

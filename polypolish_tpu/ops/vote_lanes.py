@@ -17,16 +17,19 @@ rank-1 update of the count tile, and the MXU retires at most ~one
     the column index* — no per-event position compares — and the wire
     format is 1 byte/event (+ padding).
 
-  * Kernel: grid over row-blocks of ``r_sub`` rows.  For each of the 8
-    dense vocab values: one (r_sub, tile_w) compare + one sublane-sum.
-    Pure VPU, no MXU.  Measured on v5e (100 M events, depth 50,
-    chained-iteration timing, bitwise-checked): 126 G slots/s =
-    62.7 G votes/s at tile_w=2048 / 50.0 G at tile_w=1024 — ~60x the
-    AVX-512 host fold (~1 G votes/s on 2 vCPUs) and ~110x the round-2
-    MXU kernel (0.56 G).  At ~24-32 lane-ops per slot that slot rate
-    sits at the VPU ALU roofline; the HBM stream (1 B/slot) uses ~15%
-    of the 819 GB/s chip bandwidth, and grid-step overhead (~0.2-0.5
-    us/step) is amortised by the wide tiles.
+  * Kernel: grid over row-blocks of ``r_sub`` rows, pure VPU, no MXU.
+    Default body 'packed': each event adds ``1 << 8*(v & 3)`` into one
+    of two byte-packed int32 accumulator planes, so the cross-sublane
+    reduction handles 2 planes instead of 8 per-vocab masks (the
+    reduces were the body's main cost); byte fields are peeled apart
+    after the sum (exact — counts <= r_sub <= 255).  Measured on v5e
+    (100 M events, depth 50, chained-iteration timing, bitwise-
+    checked): 158 G slots/s = **78.5 G votes/s** at tile_w=2048
+    (cmp body: 126 G slots/s = 62.7 G votes/s) — ~75x the AVX-512 host
+    fold (~1 G votes/s on 2 vCPUs) and ~140x the round-2 MXU kernel
+    (0.56 G).  The HBM stream (1 B/slot) uses ~20% of the 819 GB/s
+    chip bandwidth, and grid-step overhead (~0.2-0.5 us/step) is
+    amortised by the wide tiles.
 
 Counts are exact int32 sums of 0/1 indicators — bitwise identical to
 the host fold and the MXU kernels across row order, block size, slab
@@ -62,7 +65,22 @@ PAD_BYTE = 255  # empty slot / sparse-tier marker (== native overflow byte)
 MAX_BLOCKS_PER_CALL = 32768
 
 
-def _make_lanes_kernel(r_sub: int, tile_w: int):
+def _make_lanes_kernel(r_sub: int, tile_w: int, body: str = "packed"):
+    """body='packed' (default): byte-packed carry-save accumulation —
+    each event adds ``1 << 8*(v & 3)`` into one of two int32
+    accumulator planes (v < 4 / v >= 4); the cross-sublane sum then
+    reduces 2 packed planes instead of 8 per-vocab masks and the byte
+    fields are peeled apart afterwards (exact: field counts <= r_sub
+    <= 255, so no cross-byte carries).  Measured ~1.3x the 'cmp' body
+    at r_sub=32 / tile_w=2048 on v5e (172 vs 134 G slots/s — the
+    per-vocab cross-sublane reduces were the body's main cost).
+
+    body='cmp': the straightforward 8x (compare + widen + sublane-sum).
+    Both are exact integer sums — bitwise interchangeable."""
+    assert body in ("packed", "cmp")
+    if body == "packed":
+        assert r_sub <= 255, "packed body: byte fields overflow past 255"
+
     def _kernel(tiles_ref, vb_ref, out_ref):
         c = pl.program_id(0)
         prev_tile = tiles_ref[jnp.maximum(c - 1, 0)]
@@ -74,19 +92,29 @@ def _make_lanes_kernel(r_sub: int, tile_w: int):
 
         # one i8->i32 widen per block: Mosaic on v5e rejects int8
         # equality compares (same legalization gap as the round-2 int8
-        # mask multiply, BENCH_NOTES.md), so compare in int32
+        # mask multiply, BENCH_NOTES.md), so work in int32
         vb = vb_ref[:, :].astype(jnp.int32)  # (r_sub, tile_w); pad 255==-1
-        parts = []
-        for v in range(DENSE_V):
-            m = (vb == v).astype(jnp.int32)
-            parts.append(jnp.sum(m, axis=0, keepdims=True))  # (1, tile_w)
+        if body == "packed":
+            s = (vb & 3) << 3
+            one = jnp.left_shift(jnp.int32(1), s)
+            lo = jnp.where((vb >= 0) & (vb < 4), one, 0)
+            hi = jnp.where((vb >= 4) & (vb < DENSE_V), one, 0)
+            slo = jnp.sum(lo, axis=0, keepdims=True)
+            shi = jnp.sum(hi, axis=0, keepdims=True)
+            parts = [(slo >> (8 * v)) & 0xFF for v in range(4)]
+            parts += [(shi >> (8 * v)) & 0xFF for v in range(4)]
+        else:
+            parts = []
+            for v in range(DENSE_V):
+                m = (vb == v).astype(jnp.int32)
+                parts.append(jnp.sum(m, axis=0, keepdims=True))
         out_ref[:, :] += jnp.concatenate(parts, axis=0)  # (8, tile_w)
 
     return _kernel
 
 
 def _lanes_call_one(vb, block_tile, n_tiles: int, interpret: bool,
-                    r_sub: int, tile_w: int):
+                    r_sub: int, tile_w: int, body: str = "packed"):
     n_blocks = vb.shape[0] // r_sub
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -97,7 +125,7 @@ def _lanes_call_one(vb, block_tile, n_tiles: int, interpret: bool,
         ),
     )
     return pl.pallas_call(
-        _make_lanes_kernel(r_sub, tile_w),
+        _make_lanes_kernel(r_sub, tile_w, body),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((DENSE_V, n_tiles * tile_w),
                                        jnp.int32),
@@ -112,7 +140,8 @@ def _lanes_call_one(vb, block_tile, n_tiles: int, interpret: bool,
 
 
 def _lanes_call(vb, block_tile, n_tiles: int, interpret: bool,
-                r_sub: int = R_SUB, tile_w: int = TILE_W):
+                r_sub: int = R_SUB, tile_w: int = TILE_W,
+                body: str = "packed"):
     """vb: (n_blocks*r_sub, tile_w) int8; block_tile: (n_blocks,) int32.
 
     Streams longer than MAX_BLOCKS_PER_CALL blocks are processed as
@@ -130,17 +159,19 @@ def _lanes_call(vb, block_tile, n_tiles: int, interpret: bool,
             bt_slab = block_tile[s * m:(s + 1) * m]
             out = _lanes_call_one(
                 vb[s * m * r_sub:(s + 1) * m * r_sub], bt_slab,
-                n_tiles, interpret, r_sub, tile_w,
+                n_tiles, interpret, r_sub, tile_w, body,
             )
             visited = jnp.zeros((n_tiles,), jnp.int32).at[bt_slab].set(1)
             out = out * jnp.repeat(visited, tile_w)[None, :]
             total = out if total is None else total + out
         return total
-    return _lanes_call_one(vb, block_tile, n_tiles, interpret, r_sub, tile_w)
+    return _lanes_call_one(vb, block_tile, n_tiles, interpret, r_sub,
+                           tile_w, body)
 
 
 _lanes_jit = jax.jit(
-    _lanes_call, static_argnames=("n_tiles", "interpret", "r_sub", "tile_w")
+    _lanes_call,
+    static_argnames=("n_tiles", "interpret", "r_sub", "tile_w", "body"),
 )
 
 
@@ -229,6 +260,7 @@ def dense_counts_lanes(
     interpret: Optional[bool] = None,
     r_sub: int = R_SUB,
     tile_w: int = TILE_W,
+    body: str = "packed",
 ) -> jnp.ndarray:
     """(8, P) int32 dense vote counts via the lane-aligned VPU kernel."""
     if interpret is None:
@@ -239,5 +271,6 @@ def dense_counts_lanes(
     out = _lanes_jit(
         jnp.asarray(vb.view(np.int8)), jnp.asarray(block_tile),
         n_tiles=n_tiles, interpret=interpret, r_sub=r_sub, tile_w=tile_w,
+        body=body,
     )
     return out[:, :num_positions]

@@ -51,10 +51,12 @@ def test_lanes_matches_host(n, p, seed):
 
 @pytest.mark.parametrize("r_sub", [8, 16, 32])
 @pytest.mark.parametrize("tile_w", [128, 256, 1024])
-def test_lanes_r_sub_tile_w_invariant(r_sub, tile_w):
+@pytest.mark.parametrize("body", ["packed", "cmp"])
+def test_lanes_r_sub_tile_w_invariant(r_sub, tile_w, body):
     pos, vocab = rand_events(30000, 2000, 7, sparse_frac=0.05, skew=True)
     got = np.asarray(
-        dense_counts_lanes(pos, vocab, 2000, r_sub=r_sub, tile_w=tile_w)
+        dense_counts_lanes(pos, vocab, 2000, r_sub=r_sub, tile_w=tile_w,
+                           body=body)
     )
     want = dense_counts_host(pos, vocab, 2000)
     np.testing.assert_array_equal(got, want)
