@@ -2101,6 +2101,83 @@ PPRewriteView* pp_rewrite_sam(const char* in_filename,
   int64_t fail_count = 0;
   size_t off = 0;
   const size_t n = data.size();
+
+  // Fast path for CR-free files (the overwhelmingly common case —
+  // checked once with a single memchr pass): lines are verbatim
+  // byte-ranges incl. their '\n', so contiguous stretches of
+  // pass/header/unaligned lines flush as ONE bulk append and only
+  // fail lines (needing the tag spliced before the newline) break the
+  // run.  Per line only the newline + two leading tabs are scanned.
+  if (memchr(data.data(), '\r', n) == nullptr) {
+    // stream straight to the output file (1 MB stdio buffer): pass
+    // runs flush as bulk writes from the mmap'd input, so the big
+    // intermediate string (and its extra 0.5 GB of memcpy) is skipped
+    FILE* f = fopen(out_filename, "wb");
+    std::unique_ptr<char[]> iobuf(new char[1 << 20]);
+    if (f) setvbuf(f, iobuf.get(), _IOFBF, 1 << 20);
+    bool wok = f != nullptr;
+    auto wr = [&](const char* p, size_t len) {
+      if (wok && len && fwrite(p, 1, len, f) != len) wok = false;
+    };
+    size_t pend = 0;  // start of the not-yet-flushed verbatim range
+    bool bad = false;
+    while (off < n) {
+      const char* nlp =
+          (const char*)memchr(data.data() + off, '\n', n - off);
+      const size_t e = nlp ? (size_t)(nlp - data.data()) : n;
+      const char* line = data.data() + off;
+      const size_t llen = e - off;
+      const size_t next = e < n ? e + 1 : n;
+      if (llen > 0 && line[0] != '@') {
+        const char* t1 = (const char*)memchr(line, '\t', llen);
+        const char* t2 =
+            t1 ? (const char*)memchr(t1 + 1, '\t',
+                                     (size_t)(line + llen - t1 - 1))
+               : nullptr;
+        if (t1 && t2) {
+          uint32_t flags = (uint32_t)parse_int(
+              std::string_view(t1 + 1, (size_t)(t2 - t1 - 1)));
+          if (!(flags & 4)) {
+            if (idx >= n_verdicts) {
+              if (f) fclose(f);
+              view->status = 3;
+              rb->error =
+                  "internal error: more aligned records than verdicts";
+              view->error = rb->error.c_str();
+              return view;
+            }
+            if (verdicts[idx++]) {
+              ++pass_count;
+            } else {
+              ++fail_count;
+              wr(data.data() + pend, e - pend);
+              wr(kFailTag, sizeof(kFailTag) - 1);
+              wr("\n", 1);
+              pend = next;
+            }
+          }
+        }
+      }
+      off = next;
+      if (nlp == nullptr && llen > 0) bad = true;  // no trailing newline
+    }
+    wr(data.data() + pend, n - pend);
+    // normalise a missing final newline (unless the final line was a
+    // fail line, whose splice already emitted one and advanced pend)
+    if (bad && pend < n) wr("\n", 1);
+    if (f && fclose(f) != 0) wok = false;
+    if (!wok) {
+      view->status = 2;
+      rb->error = std::string("unable to write alignments to \"") +
+                  out_filename + "\"";
+      view->error = rb->error.c_str();
+      return view;
+    }
+    view->pass_count = pass_count;
+    view->fail_count = fail_count;
+    return view;
+  }
+
   while (off < n) {
     // universal-newline line scan: '\n', '\r', or "\r\n" all terminate.
     // Fast path: memchr to the next '\n', then check for a '\r' inside
