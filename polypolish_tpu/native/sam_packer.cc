@@ -1921,38 +1921,26 @@ static bool quick_parse_file(const char* filename, QuickFile& out,
 
   std::vector<uint8_t> seen;  // per-file distinct-name flags by id
   seen.reserve(names.size() + 1024);
+  // 1-entry caches: multi-mapped reads arrive as consecutive lines and
+  // refs are near-constant, so most name/ref lookups hit the previous
+  // line's entry (same trick as the main parser's contig-id cache)
+  std::string_view prev_name, prev_ref;
+  int64_t prev_nid = -1;
+  int32_t prev_rid = -1;
   int64_t line_no = 0;
   size_t off = 0;
   while (off < data.size()) {
-    size_t nl = data.find('\n', off);
-    if (nl == std::string_view::npos) nl = data.size();
-    size_t llen = nl - off;
-    if (llen > 0 && data[off + llen - 1] == '\r') --llen;
+    // single-pass AVX-512 tab+newline scan (see scan_line)
+    const char* fields[260];
+    size_t flens[260];
+    int nf = 0;
+    size_t advance = 0;
+    size_t llen = scan_line(data.data() + off, data.size() - off, fields,
+                            flens, &nf, &advance);
     ++line_no;
     const char* line = data.data() + off;
-    off = nl + 1;
+    off += advance;
     if (llen > 0 && line[0] == '@') continue;
-
-    // split first 11+ fields (the reference's new_quick requires >= 11)
-    const char* fields[12];
-    size_t flens[12];
-    int nf = 0;
-    const char* start = line;
-    const char* end_p = line + llen;
-    while (nf < 12) {
-      const char* q =
-          (const char*)memchr(start, '\t', (size_t)(end_p - start));
-      if (!q) {
-        fields[nf] = start;
-        flens[nf] = (size_t)(end_p - start);
-        ++nf;
-        break;
-      }
-      fields[nf] = start;
-      flens[nf] = (size_t)(q - start);
-      ++nf;
-      start = q + 1;
-    }
     if (nf < 11) {
       qb.status = 1;
       qb.error = std::string("too few columns in \"") + filename +
@@ -1962,26 +1950,43 @@ static bool quick_parse_file(const char* filename, QuickFile& out,
     uint32_t fl = (uint32_t)parse_int(std::string_view(fields[1], flens[1]));
     if (fl & 4) continue;  // unaligned
 
-    std::string name(fields[0], flens[0]);
-    auto [nit, nnew] = names.emplace(std::move(name), (int64_t)names.size());
-    int64_t nid = nit->second;
-    if (nnew && name_strs) name_strs->push_back(nit->first);
+    std::string_view name_v(fields[0], flens[0]);
+    int64_t nid;
+    if (name_v == prev_name && prev_nid >= 0) {
+      nid = prev_nid;
+    } else {
+      auto [nit, nnew] =
+          names.emplace(std::string(name_v), (int64_t)names.size());
+      nid = nit->second;
+      if (nnew && name_strs) name_strs->push_back(nit->first);
+      prev_name = std::string_view(nit->first);  // stable storage
+      prev_nid = nid;
+    }
     if ((size_t)nid >= seen.size()) seen.resize((size_t)nid + 1024, 0);
     if (!seen[(size_t)nid]) {
       seen[(size_t)nid] = 1;
       ++out.n_names;
     }
 
-    std::string ref(fields[2], flens[2]);
-    auto [rit, rnew] = refs.emplace(std::move(ref), (int32_t)refs.size());
-    if (rnew && ref_strs) ref_strs->push_back(rit->first);
+    std::string_view ref_v(fields[2], flens[2]);
+    int32_t rid;
+    if (ref_v == prev_ref && prev_rid >= 0) {
+      rid = prev_rid;
+    } else {
+      auto [rit, rnew] =
+          refs.emplace(std::string(ref_v), (int32_t)refs.size());
+      rid = rit->second;
+      if (rnew && ref_strs) ref_strs->push_back(rit->first);
+      prev_ref = std::string_view(rit->first);
+      prev_rid = rid;
+    }
 
     int64_t rs = parse_int(std::string_view(fields[3], flens[3]));
     int64_t ref_start = rs > 0 ? rs - 1 : rs;
     std::string_view cigar(fields[5], flens[5]);
 
     out.flags.push_back((int32_t)fl);
-    out.ref_id.push_back(rit->second);
+    out.ref_id.push_back(rid);
     out.start.push_back(ref_start);
     out.end.push_back(quick_ref_end(cigar, ref_start));
     out.name_id.push_back(nid);
