@@ -243,7 +243,8 @@ class ParsedRuns:
             self._lib.pp_free_chunks2(cv)
 
     def lanes(self, contig_name: str, r_sub: int, tile_w: int,
-              n_threads: int = 0, num_positions: Optional[int] = None):
+              n_threads: Optional[int] = None,
+              num_positions: Optional[int] = None):
         """Lane-aligned pack for the VPU vote kernel (ops/vote_lanes.py):
         returns a LanesPack exposing zero-copy (vb (n_blocks*r_sub,
         tile_w) uint8, block_tile int32 (n_blocks,), n_tiles) — one
@@ -251,9 +252,13 @@ class ParsedRuns:
         arrays stay valid until the pack is closed/garbage-collected
         (callers upload to device, then drop it).  num_positions may
         exceed the contig length (position-axis padding)."""
+        from polypolish_tpu.native import binding
+
         cid = self.contig_names.index(contig_name)
         P = num_positions if num_positions is not None \
             else self.contig_lens[contig_name]
+        if n_threads is None:
+            n_threads = binding.default_threads()
         lv = self._lib.pp_lanes_from_runs(
             self._view, cid, P, r_sub, tile_w, n_threads
         )

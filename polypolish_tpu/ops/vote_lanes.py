@@ -203,7 +203,6 @@ def prepare_lanes(
     num_positions: int,
     r_sub: int = R_SUB,
     tile_w: int = TILE_W,
-    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Pack events into the lane-aligned layout (numpy reference packer;
     the native C++ twin is pp_lanes_from_runs, which packs straight from

@@ -279,7 +279,7 @@ def polish_pod_distributed(
                         model.vote_counts(pack.vb, pack.block_tile)
                     )[:, :P]
                     pack.close()
-                    _d, (sp, sv, sc) = None, shard.sparse(name)
+                    sp, sv, sc = shard.sparse(name)
                 else:
                     counts_local, _d, (sp, sv, sc) = shard.fold(name)
                 counts = _psum_i32(counts_local)
