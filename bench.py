@@ -304,14 +304,33 @@ def bench_pallas(pos, vocab, num_positions, iters, tile_p, e_sub,
 # 819 GB/s HBM; VPU = 8x128 lanes x 4 ALUs at ~940 MHz)
 HBM_PEAK_BYTES_PER_S = 819e9
 VPU_PEAK_LANE_OPS_PER_S = 8 * 128 * 4 * 0.94e9
-# VPU lane-ops per slot for the packed lanes body (widen + two packed
-# accumulator builds + two sublane reduce trees, amortised) — a crude
-# cost-model estimate used only for the %VPU-peak roofline field
-LANES_LANE_OPS_PER_SLOT = 16
+# VPU lane-ops per slot by kernel body — crude cost-model estimates
+# used only for the %VPU-peak roofline field (packed4 skips the int8
+# widen entirely; byte extraction is in-register)
+LANES_LANE_OPS_PER_SLOT_BY_BODY = {"packed4": 12, "packed": 16, "cmp": 24}
+LANES_LANE_OPS_PER_SLOT = 16  # legacy default
+
+
+def _auto_r_sub(pos, num_positions, tile_w):
+    """Pick the packed4 row-block size from the depth profile: minimise
+    estimated kernel time = slots (compute, ~constant G slots/s) +
+    blocks * step-overhead (~60k slot-equivalents per step, measured)."""
+    depth = np.bincount(pos, minlength=num_positions)
+    n_tiles = max(1, -(-num_positions // tile_w))
+    pad = np.zeros(n_tiles * tile_w, dtype=depth.dtype)
+    pad[:depth.shape[0]] = depth
+    rows = pad.reshape(n_tiles, tile_w).max(axis=1)
+    best = (None, None)
+    for c in (32, 64, 96, 128, 160, 192):
+        blocks = np.maximum(1, -(-rows // c))
+        cost = int(blocks.sum()) * (c * tile_w + 60_000)
+        if best[0] is None or cost < best[0]:
+            best = (cost, c)
+    return best[1]
 
 
 def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
-                verbose=True, check=True):
+                verbose=True, check=True, body="packed4"):
     """Lane-aligned VPU kernel (ops/vote_lanes.py) with noise-robust
     chained timing (the tunnel adds ~25-500 ms fixed per dispatch, so
     rate = best-of-reps of (T(1+iters) - T(1)) / iters) and a
@@ -326,18 +345,27 @@ def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
     n_events = pos.shape[0]
 
     t0 = time.time()
+    if r_sub is None:
+        r_sub = _auto_r_sub(pos, num_positions, tile_w)
+        eprint(f"auto r_sub: {r_sub}")
     vb, block_tile, n_tiles = prepare_lanes(
         pos, vocab, num_positions, r_sub=r_sub, tile_w=tile_w
     )
     prep_s = time.time() - t0
     pad = vb.size / max(n_events, 1)
-    d_vb = jnp.asarray(vb.view(np.int8))
+    if body == "packed4":
+        from polypolish_tpu.ops.vote_lanes import to_packed4
+
+        arr = to_packed4(vb, r_sub)
+    else:
+        arr = vb.view(np.int8)
+    d_vb = jnp.asarray(arr)
     d_bt = jnp.asarray(block_tile)
     jax.block_until_ready((d_vb, d_bt))
 
     def kernel_once(bt, v):
         return _lanes_call(v, bt, n_tiles=n_tiles, interpret=interpret,
-                           r_sub=r_sub, tile_w=tile_w)
+                           r_sub=r_sub, tile_w=tile_w, body=body)
 
     if check:
         from polypolish_tpu.ops.vote import dense_counts_host
@@ -386,6 +414,9 @@ def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
     rate = n_events / best
     slot_rate = vb.size / best
     out_bytes = n_tiles * tile_w * 8 * 4
+    ops_per_slot = LANES_LANE_OPS_PER_SLOT_BY_BODY.get(
+        body, LANES_LANE_OPS_PER_SLOT
+    )
     roofline = {
         "votes_per_s": rate,
         "slots_per_s": slot_rate,
@@ -394,16 +425,15 @@ def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
         "pct_hbm_peak": round(
             100 * (slot_rate + out_bytes / best) / HBM_PEAK_BYTES_PER_S, 1
         ),
-        "lane_ops_per_s": slot_rate * LANES_LANE_OPS_PER_SLOT,
+        "lane_ops_per_s": slot_rate * ops_per_slot,
         "pct_vpu_peak": round(
-            100 * slot_rate * LANES_LANE_OPS_PER_SLOT
-            / VPU_PEAK_LANE_OPS_PER_S, 1
+            100 * slot_rate * ops_per_slot / VPU_PEAK_LANE_OPS_PER_S, 1
         ),
         "ns_per_grid_step": round(best / n_blocks * 1e9, 1),
     }
     if verbose:
         eprint(
-            f"lanes tile_w={tile_w} r_sub={r_sub}: prep {prep_s:.2f}s "
+            f"lanes[{body}] tile_w={tile_w} r_sub={r_sub}: prep {prep_s:.2f}s "
             f"(pad {pad:.2f}x), compile {compile_s:.1f}s, "
             f"kernel {best * 1000:.3f} ms -> {rate / 1e9:.2f} G votes/s "
             f"({slot_rate / 1e9:.1f} G slots/s, "
@@ -448,7 +478,7 @@ def main_kernel(args):
     if args.variant == "lanes" and not (args.ab or args.sweep or args.xla):
         from polypolish_tpu.ops import vote_lanes
 
-        r_sub = args.e_sub or vote_lanes.R_SUB
+        r_sub = args.e_sub or None  # None -> depth-profile auto-pick
         tile_w = args.tile_p or vote_lanes.TILE_W
         rate, roofline = bench_lanes(
             pos, vocab, args.positions, max(args.iters, 24), r_sub, tile_w,
@@ -473,7 +503,7 @@ def main_kernel(args):
 
                 r, _ = bench_lanes(
                     pos, vocab, args.positions, max(args.iters, 24),
-                    vote_lanes.R_SUB, vote_lanes.TILE_W, check=False,
+                    None, vote_lanes.TILE_W, check=False,
                 )
             else:
                 r, _, _ = bench_pallas(

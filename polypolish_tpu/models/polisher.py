@@ -143,7 +143,8 @@ class LanesPolisher:
 
     def __init__(self, num_positions: int, r_sub: Optional[int] = None,
                  tile_w: Optional[int] = None,
-                 interpret: Optional[bool] = None) -> None:
+                 interpret: Optional[bool] = None,
+                 body: str = "packed4") -> None:
         from polypolish_tpu.ops.vote_lanes import (
             MAX_BLOCKS_PER_CALL,
             R_SUB,
@@ -156,6 +157,11 @@ class LanesPolisher:
         self.num_positions = num_positions
         self.r_sub = R_SUB if r_sub is None else r_sub
         self.tile_w = TILE_W if tile_w is None else tile_w
+        self.body = body
+        if body == "packed4" and self.r_sub % 4:
+            self.body = body = "packed"
+        self.rows_per_block = (self.r_sub // 4 if body == "packed4"
+                               else self.r_sub)
         self.n_tiles = max(1, -(-num_positions // self.tile_w))
         self.max_blocks = MAX_BLOCKS_PER_CALL
         if interpret is None:
@@ -166,12 +172,13 @@ class LanesPolisher:
         self.interpret = interpret
 
         r_sub_, tile_w_, n_tiles_ = self.r_sub, self.tile_w, self.n_tiles
-        interpret_ = self.interpret
+        interpret_, body_ = self.interpret, self.body
 
         @jax.jit
         def _slab(vb, block_tile):
             out = _lanes_call_one(
-                vb, block_tile, n_tiles_, interpret_, r_sub_, tile_w_
+                vb, block_tile, n_tiles_, interpret_, r_sub_, tile_w_,
+                body_,
             )
             visited = (
                 jnp.zeros((n_tiles_,), jnp.int32).at[block_tile].set(1)
@@ -181,7 +188,8 @@ class LanesPolisher:
         @jax.jit
         def _single(vb, block_tile):
             return _lanes_call_one(
-                vb, block_tile, n_tiles_, interpret_, r_sub_, tile_w_
+                vb, block_tile, n_tiles_, interpret_, r_sub_, tile_w_,
+                body_,
             )
 
         @jax.jit
@@ -217,18 +225,28 @@ class LanesPolisher:
         """(8, n_tiles*tile_w) int32 device counts from a host pack.
         Slab uploads are issued back-to-back with the kernel launches —
         jax's async dispatch overlaps slab s+1's transfer with slab s's
-        compute."""
-        n_blocks = vb.shape[0] // self.r_sub
-        vb8 = vb.view(np.int8)
+        compute.  ``vb`` is the pack's native array: int32 packed4 rows
+        for body='packed4' (uint8 row buffers are transformed here),
+        int8/uint8 rows otherwise."""
+        from polypolish_tpu.ops.vote_lanes import to_packed4
+
+        if self.body == "packed4":
+            if vb.dtype == np.uint8:
+                vb = to_packed4(vb, self.r_sub)
+            assert vb.dtype == np.int32
+        else:
+            vb = vb.view(np.int8)
+        rpb = self.rows_per_block
+        n_blocks = vb.shape[0] // rpb
         if n_blocks <= self.max_blocks:
             return self._single_jit(
-                jax.device_put(vb8), jax.device_put(block_tile)
+                jax.device_put(vb), jax.device_put(block_tile)
             )
         assert n_blocks % self.max_blocks == 0, (n_blocks, self.max_blocks)
         m = self.max_blocks
         total = None
         for s in range(n_blocks // m):
-            d_vb = jax.device_put(vb8[s * m * self.r_sub:(s + 1) * m * self.r_sub])
+            d_vb = jax.device_put(vb[s * m * rpb:(s + 1) * m * rpb])
             d_bt = jax.device_put(block_tile[s * m:(s + 1) * m])
             part = self._slab_jit(d_vb, d_bt)
             total = part if total is None else self._add_jit(total, part)

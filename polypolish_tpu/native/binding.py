@@ -332,6 +332,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,                     # r_sub
             ctypes.c_int32,                     # tile_w
             ctypes.c_int32,                     # n_threads
+            ctypes.c_int32,                     # layout (0 rows, 1 packed4)
         ]
         lib.pp_free_lanes.argtypes = [ctypes.POINTER(_PPLanesView)]
         lib.pp_free_lanes.restype = None

@@ -244,7 +244,8 @@ class ParsedRuns:
 
     def lanes(self, contig_name: str, r_sub: int, tile_w: int,
               n_threads: Optional[int] = None,
-              num_positions: Optional[int] = None):
+              num_positions: Optional[int] = None,
+              packed4: bool = False):
         """Lane-aligned pack for the VPU vote kernel (ops/vote_lanes.py):
         returns a LanesPack exposing zero-copy (vb (n_blocks*r_sub,
         tile_w) uint8, block_tile int32 (n_blocks,), n_tiles) — one
@@ -260,13 +261,14 @@ class ParsedRuns:
         if n_threads is None:
             n_threads = binding.default_threads()
         lv = self._lib.pp_lanes_from_runs(
-            self._view, cid, P, r_sub, tile_w, n_threads
+            self._view, cid, P, r_sub, tile_w, n_threads,
+            1 if packed4 else 0,
         )
         c = lv.contents
         if int(c.n_tiles) == 0 or not c.vb:
             self._lib.pp_free_lanes(lv)
             return None
-        return LanesPack(self._lib, lv, r_sub, tile_w)
+        return LanesPack(self._lib, lv, r_sub, tile_w, packed4=packed4)
 
     def lanes_mesh(self, contig_name: str, n_data: int, n_pos: int,
                    r_sub: int, tile_w: int, n_threads: int = 0,
@@ -392,9 +394,12 @@ def parse_runs(
 
 
 class LanesPack:
-    """Owns a PPLanesView (native lane-aligned pack); zero-copy views."""
+    """Owns a PPLanesView (native lane-aligned pack); zero-copy views.
+    packed4 packs expose .vb as int32 (n_blocks*r_sub//4, tile_w) —
+    the packed4 kernel body's input layout."""
 
-    def __init__(self, lib, view, r_sub: int, tile_w: int):
+    def __init__(self, lib, view, r_sub: int, tile_w: int,
+                 packed4: bool = False):
         self._lib = lib
         self._view = view
         c = view.contents
@@ -403,9 +408,14 @@ class LanesPack:
         self.n_events = int(c.n_events)
         self.r_sub = r_sub
         self.tile_w = tile_w
-        self.vb = _as_np(
-            c.vb, self.n_blocks * r_sub * tile_w, np.uint8
-        ).reshape(self.n_blocks * r_sub, tile_w)
+        self.packed4 = packed4
+        raw = _as_np(c.vb, self.n_blocks * r_sub * tile_w, np.uint8)
+        if packed4:
+            self.vb = raw.view(np.int32).reshape(
+                self.n_blocks * (r_sub // 4), tile_w
+            )
+        else:
+            self.vb = raw.reshape(self.n_blocks * r_sub, tile_w)
         self.block_tile = _as_np(c.block_tile, self.n_blocks, np.int32)
 
     def close(self) -> None:

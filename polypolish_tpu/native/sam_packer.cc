@@ -3258,13 +3258,19 @@ struct PPLanesView {
 
 PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
                                 int32_t r_sub, int32_t tile_w,
-                                int32_t n_threads) {
+                                int32_t n_threads, int32_t layout) {
+  // layout 0: plain (rows, tile_w) uint8; layout 1: "packed4" — four
+  // byte-rows share one int32 lane (row r -> word r>>2, byte r&3), the
+  // zero-relayout input of the packed4 kernel body.  Pad bytes are
+  // 0xFF either way (position-independent), so only the scatter's
+  // byte address changes.
   auto* rr = static_cast<RunsResult*>(runs->handle);
   auto* buf = new LanesBuffers();
   auto* view = new PPLanesView();
   memset(view, 0, sizeof(*view));
   view->handle = buf;
   if (r_sub <= 0 || tile_w <= 0 || tile_w % 128 != 0 || P < 0) return view;
+  if (layout == 1 && r_sub % 4 != 0) return view;
 
   rr->prepare_sorted();
   int64_t lo = 0, hi = 0;
@@ -3415,9 +3421,17 @@ PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
         const int64_t seg_end = std::min(e, (t + 1) * (int64_t)tile_w);
         uint8_t* base = buf->vb + (size_t)row_base[(size_t)t] * tile_w;
         int64_t col = p - t * (int64_t)tile_w;
-        for (; p < seg_end; ++p, ++col) {
-          const int32_t row = cur[(size_t)(p - p_lo)]++;
-          base[(size_t)row * tile_w + col] = *src++;
+        if (layout == 1) {
+          for (; p < seg_end; ++p, ++col) {
+            const int32_t row = cur[(size_t)(p - p_lo)]++;
+            base[(size_t)(row >> 2) * tile_w * 4 + (size_t)col * 4 +
+                 (size_t)(row & 3)] = *src++;
+          }
+        } else {
+          for (; p < seg_end; ++p, ++col) {
+            const int32_t row = cur[(size_t)(p - p_lo)]++;
+            base[(size_t)row * tile_w + col] = *src++;
+          }
         }
       }
     }

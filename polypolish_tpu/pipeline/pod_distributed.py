@@ -274,7 +274,8 @@ def polish_pod_distributed(
                     if model is None:
                         model = LanesPolisher(P)
                         _MODEL_CACHE[("lanes", P)] = model
-                    pack = shard.lanes(name, model.r_sub, model.tile_w)
+                    pack = shard.lanes(name, model.r_sub, model.tile_w,
+                                       packed4=(model.body == "packed4"))
                     counts_local = np.asarray(
                         model.vote_counts(pack.vb, pack.block_tile)
                     )[:, :P]

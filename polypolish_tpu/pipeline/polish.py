@@ -694,7 +694,8 @@ def _polish_device_runs(
             model = LanesPolisher(p_pad)
             _MODEL_CACHE[key] = model
         pack = runs_handle.lanes(
-            name, model.r_sub, model.tile_w, num_positions=p_pad
+            name, model.r_sub, model.tile_w, num_positions=p_pad,
+            packed4=(model.body == "packed4"),
         )
         if pack is not None:
             counts_j, adopted_u8, status_u8 = model.forward_pack(

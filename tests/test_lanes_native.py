@@ -124,3 +124,45 @@ def test_native_lanes_position_padding(tmp_path):
     assert int(got[:, P:].sum()) == 0
     pack.close()
     pr.close()
+
+
+@pytest.mark.parametrize("r_sub,tile_w", [(8, 128), (32, 256)])
+def test_native_packed4_layout_counts(tmp_path, r_sub, tile_w):
+    """Native packed4 packs (4 byte-rows per int32 lane) must drive the
+    packed4 kernel body to counts identical to the fold."""
+    import jax.numpy as jnp
+
+    from polypolish_tpu.ops.vote_lanes import _lanes_jit
+
+    pr, names, lens = _parsed(tmp_path, seed=61)
+    for name in names:
+        P = lens[name]
+        counts_ref = pr.fold(name)[0]
+        pack = pr.lanes(name, r_sub, tile_w, packed4=True)
+        assert pack.vb.dtype == np.int32
+        assert pack.vb.shape == (pack.n_blocks * (r_sub // 4), tile_w)
+        got = np.asarray(_lanes_jit(
+            jnp.asarray(pack.vb), jnp.asarray(pack.block_tile),
+            n_tiles=pack.n_tiles, interpret=True, r_sub=r_sub,
+            tile_w=tile_w, body="packed4",
+        ))[:, :P]
+        np.testing.assert_array_equal(got, counts_ref)
+        pack.close()
+    pr.close()
+
+
+def test_lanes_polisher_packed4_native(tmp_path):
+    """LanesPolisher(body=packed4) end-to-end with a native packed4
+    pack: counts bitwise equal to the fold."""
+    from polypolish_tpu.models.polisher import LanesPolisher
+
+    pr, names, lens = _parsed(tmp_path, seed=67)
+    name = names[0]
+    P = lens[name]
+    counts_ref = pr.fold(name)[0]
+    m = LanesPolisher(P, r_sub=8, tile_w=256, body="packed4")
+    pack = pr.lanes(name, 8, 256, packed4=True)
+    got = np.asarray(m.vote_counts(pack.vb, pack.block_tile))[:, :P]
+    np.testing.assert_array_equal(got, counts_ref)
+    pack.close()
+    pr.close()

@@ -51,7 +51,7 @@ def test_lanes_matches_host(n, p, seed):
 
 @pytest.mark.parametrize("r_sub", [8, 16, 32])
 @pytest.mark.parametrize("tile_w", [128, 256, 1024])
-@pytest.mark.parametrize("body", ["packed", "cmp"])
+@pytest.mark.parametrize("body", ["packed", "cmp", "packed4"])
 def test_lanes_r_sub_tile_w_invariant(r_sub, tile_w, body):
     pos, vocab = rand_events(30000, 2000, 7, sparse_frac=0.05, skew=True)
     got = np.asarray(
