@@ -272,7 +272,8 @@ class ParsedRuns:
 
     def lanes_mesh(self, contig_name: str, n_data: int, n_pos: int,
                    r_sub: int, tile_w: int, n_threads: int = 0,
-                   num_positions: Optional[int] = None):
+                   num_positions: Optional[int] = None,
+                   packed4: bool = False):
         """One-call lane packs for ALL (data, pos) mesh shards (the
         round-3 answer to the per-(d,s) Python prepare loop): returns
         (vb (D, S, B*r_sub, tile_w) uint8 copy, block_tile (D, S, B)
@@ -291,6 +292,14 @@ class ParsedRuns:
             vb = _as_np(
                 c.vb, n_data * n_pos * B * r_sub * tile_w, np.uint8
             ).copy().reshape(n_data, n_pos, B * r_sub, tile_w)
+            if packed4:
+                from polypolish_tpu.ops.vote_lanes import to_packed4
+
+                vb = np.stack([
+                    np.stack([to_packed4(vb[d, s], r_sub)
+                              for s in range(n_pos)])
+                    for d in range(n_data)
+                ])
             bt = _as_np(
                 c.block_tile, n_data * n_pos * B, np.int32
             ).copy().reshape(n_data, n_pos, B)

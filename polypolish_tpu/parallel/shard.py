@@ -338,15 +338,19 @@ def bucket_lanes_for_mesh(
     n_pos: int,
     r_sub: Optional[int] = None,
     tile_w: Optional[int] = None,
+    body: str = "packed4",
 ):
     """Route events to (data, pos) shards and pack each shard into the
     lane-aligned layout (ops/vote_lanes.py), padded to a common block
     count.
 
-    Returns (vb (D, S, B*r_sub, tile_w) uint8, block_tile (D, S, B)
-    int32, p_shard, n_tiles).  Counts are psum-exact: any event->data
-    split is bitwise equivalent (integer adds commute), so events are
-    split round-robin like bucket_events_for_mesh.
+    Returns (vb, block_tile (D, S, B) int32, p_shard, n_tiles) with vb
+    in the packed4 layout — (D, S, B*r_sub//4, tile_w) int32, four
+    byte-rows per lane (the flagship kernel body's input; see
+    ops/vote_lanes.py) — when body='packed4' (default), else
+    (D, S, B*r_sub, tile_w) uint8 rows.  Counts are psum-exact: any
+    event->data split is bitwise equivalent (integer adds commute), so
+    events are split round-robin like bucket_events_for_mesh.
     """
     from polypolish_tpu.ops import vote_lanes
 
@@ -388,6 +392,14 @@ def bucket_lanes_for_mesh(
             nb = bt.shape[0]
             vb_all[d, s, : nb * r_sub] = vb
             bt_all[d, s, :nb] = bt
+    if body == "packed4":
+        vb_all = np.stack([
+            np.stack([
+                vote_lanes.to_packed4(vb_all[d, s], r_sub)
+                for s in range(n_pos)
+            ])
+            for d in range(n_data)
+        ])
     return vb_all, bt_all, p_shard, n_tiles
 
 
@@ -395,6 +407,7 @@ def make_sharded_polish_step_lanes(
     mesh: Mesh, p_shard: int, n_tiles: int,
     r_sub: Optional[int] = None, tile_w: Optional[int] = None,
     interpret: Optional[bool] = None,
+    body: str = "packed4",
 ):
     """SPMD step with the lane-aligned VPU vote kernel per shard (the
     round-3 flagship multi-chip path).  Same contract as
@@ -415,7 +428,7 @@ def make_sharded_polish_step_lanes(
             vb.reshape(-1, tile_w),
             block_tile.reshape(-1),
             n_tiles=n_tiles, interpret=interpret,
-            r_sub=r_sub, tile_w=tile_w,
+            r_sub=r_sub, tile_w=tile_w, body=body,
         )[:, :p_shard]
         counts = jax.lax.psum(counts, "data")
         new_id, status = consensus_dense_core(
@@ -468,7 +481,7 @@ def sharded_vote_consensus_lanes(
     step = make_sharded_polish_step_lanes(mesh, p_shard, n_tiles,
                                           interpret=interpret)
     counts, new_id, status = step(
-        jnp.asarray(vb.view(np.int8)), jnp.asarray(bt),
+        jnp.asarray(vb), jnp.asarray(bt),
         jnp.asarray(pad_p(np.asarray(valid_thr, np.int32), 2**31 - 1)),
         jnp.asarray(pad_p(np.asarray(invalid_thr, np.int32), 2**31 - 1)),
         jnp.asarray(pad_p(np.asarray(low_depth, bool), True)),

@@ -36,7 +36,8 @@ def _parsed(tmp_path, seed=21, genome_len=6000, n_reads=3000):
 
 
 @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
-def test_mesh_pack_counts_bitwise(tmp_path, mesh_shape):
+@pytest.mark.parametrize("packed4", [False, True])
+def test_mesh_pack_counts_bitwise(tmp_path, mesh_shape, packed4):
     from polypolish_tpu.parallel import make_mesh
     from polypolish_tpu.parallel.shard import make_sharded_polish_step_lanes
     import jax.numpy as jnp
@@ -47,7 +48,8 @@ def test_mesh_pack_counts_bitwise(tmp_path, mesh_shape):
     P = lens[name]
     counts_ref = pr.fold(name)[0]
 
-    packed = pr.lanes_mesh(name, n_data, n_pos, R_SUB, TILE_W)
+    packed = pr.lanes_mesh(name, n_data, n_pos, R_SUB, TILE_W,
+                           packed4=packed4)
     assert packed is not None
     vb, bt, p_shard, n_tiles = packed
     assert vb.shape[:2] == (n_data, n_pos)
@@ -61,10 +63,11 @@ def test_mesh_pack_counts_bitwise(tmp_path, mesh_shape):
     low = np.ones(p_total, bool)
     orig = np.zeros(p_total, np.int32)
     step = make_sharded_polish_step_lanes(
-        mesh, p_shard, n_tiles, r_sub=R_SUB, tile_w=TILE_W
+        mesh, p_shard, n_tiles, r_sub=R_SUB, tile_w=TILE_W,
+        body="packed4" if packed4 else "packed",
     )
     counts, _new_id, _status = step(
-        jnp.asarray(vb.view(np.int8)), jnp.asarray(bt),
+        jnp.asarray(vb if packed4 else vb.view(np.int8)), jnp.asarray(bt),
         jnp.asarray(valid), jnp.asarray(invalid), jnp.asarray(low),
         jnp.asarray(orig),
     )
