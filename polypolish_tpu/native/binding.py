@@ -346,6 +346,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,                     # n_data
             ctypes.c_int32,                     # n_pos
             ctypes.c_int32,                     # n_threads
+            ctypes.c_int32,                     # layout (0 rows, 1 packed4)
         ]
         lib.pp_free_lanes_mesh.argtypes = [ctypes.POINTER(_PPLanesMeshView)]
         lib.pp_free_lanes_mesh.restype = None

@@ -276,13 +276,16 @@ class ParsedRuns:
                    packed4: bool = False):
         """One-call lane packs for ALL (data, pos) mesh shards (the
         round-3 answer to the per-(d,s) Python prepare loop): returns
-        (vb (D, S, B*r_sub, tile_w) uint8 copy, block_tile (D, S, B)
-        int32 copy, p_shard, n_tiles) or None."""
+        (vb (D, S, B*r_sub, tile_w) uint8 copy — or packed4 int32
+        (D, S, B*r_sub//4, tile_w), packed natively with no host
+        re-layout pass — block_tile (D, S, B) int32 copy, p_shard,
+        n_tiles) or None."""
         cid = self.contig_names.index(contig_name)
         P = num_positions if num_positions is not None \
             else self.contig_lens[contig_name]
         mv = self._lib.pp_lanes_mesh(
-            self._view, cid, P, r_sub, tile_w, n_data, n_pos, n_threads
+            self._view, cid, P, r_sub, tile_w, n_data, n_pos, n_threads,
+            1 if packed4 else 0,
         )
         try:
             c = mv.contents
@@ -291,15 +294,13 @@ class ParsedRuns:
             B = int(c.n_blocks)
             vb = _as_np(
                 c.vb, n_data * n_pos * B * r_sub * tile_w, np.uint8
-            ).copy().reshape(n_data, n_pos, B * r_sub, tile_w)
+            ).copy()
             if packed4:
-                from polypolish_tpu.ops.vote_lanes import to_packed4
-
-                vb = np.stack([
-                    np.stack([to_packed4(vb[d, s], r_sub)
-                              for s in range(n_pos)])
-                    for d in range(n_data)
-                ])
+                vb = vb.view(np.int32).reshape(
+                    n_data, n_pos, B * (r_sub // 4), tile_w
+                )
+            else:
+                vb = vb.reshape(n_data, n_pos, B * r_sub, tile_w)
             bt = _as_np(
                 c.block_tile, n_data * n_pos * B, np.int32
             ).copy().reshape(n_data, n_pos, B)

@@ -3493,7 +3493,10 @@ struct LanesMeshBuffers {
 PPLanesMeshView* pp_lanes_mesh(PPRunsView* runs, int32_t contig, int64_t P,
                                int32_t r_sub, int32_t tile_w,
                                int32_t n_data, int32_t n_pos,
-                               int32_t n_threads) {
+                               int32_t n_threads, int32_t layout) {
+  // layout 0: plain (rows, tile_w) uint8 per shard; layout 1:
+  // "packed4" — four byte-rows per int32 lane, the zero-relayout input
+  // of the packed4 kernel body (same addressing as pp_lanes_from_runs).
   auto* rr = static_cast<RunsResult*>(runs->handle);
   auto* buf = new LanesMeshBuffers();
   auto* view = new PPLanesMeshView();
@@ -3502,6 +3505,7 @@ PPLanesMeshView* pp_lanes_mesh(PPRunsView* runs, int32_t contig, int64_t P,
   if (r_sub <= 0 || tile_w <= 0 || tile_w % 128 != 0 || P < 0 ||
       n_data <= 0 || n_pos <= 0)
     return view;
+  if (layout == 1 && r_sub % 4 != 0) return view;
 
   rr->prepare_sorted();
   int64_t lo = 0, hi = 0;
@@ -3563,7 +3567,10 @@ PPLanesMeshView* pp_lanes_mesh(PPRunsView* runs, int32_t contig, int64_t P,
     }
   }
   // geometric padding of the common block count (shared compile shapes
-  // across contigs, mirroring vote_lanes._pad_block_count)
+  // across contigs, mirroring vote_lanes._pad_block_count) + slab
+  // round-up so deep shards split into exact MAX_BLOCKS_PER_CALL slabs
+  // (ADVICE round 3: _lanes_call asserts the multiple)
+  constexpr int64_t kMaxBlocksPerCall = 32768;  // = MAX_BLOCKS_PER_CALL
   int64_t B;
   {
     int64_t nmin = max_blocks_per_shard < 8 ? 8 : max_blocks_per_shard;
@@ -3572,6 +3579,9 @@ PPLanesMeshView* pp_lanes_mesh(PPRunsView* runs, int32_t contig, int64_t P,
     int shift = bits - 3 > 0 ? bits - 3 : 0;
     int64_t step = (int64_t)1 << shift;
     B = (max_blocks_per_shard + step - 1) / step * step;
+    if (B > kMaxBlocksPerCall)
+      B = (B + kMaxBlocksPerCall - 1) / kMaxBlocksPerCall *
+          kMaxBlocksPerCall;
   }
 
   const size_t shard_bytes = (size_t)B * r_sub * tile_w;
@@ -3627,9 +3637,17 @@ PPLanesMeshView* pp_lanes_mesh(PPRunsView* runs, int32_t contig, int64_t P,
           uint8_t* base = buf->vb + ((size_t)d * n_pos + s) * shard_bytes +
                           (size_t)row_base[(size_t)d][(size_t)t] * tile_w;
           int64_t col = p - t * (int64_t)tile_w;
-          for (; p < seg_end; ++p, ++col) {
-            const int32_t row = cur[(size_t)p]++;
-            base[(size_t)row * tile_w + col] = *src++;
+          if (layout == 1) {
+            for (; p < seg_end; ++p, ++col) {
+              const int32_t row = cur[(size_t)p]++;
+              base[(size_t)(row >> 2) * tile_w * 4 + (size_t)col * 4 +
+                   (size_t)(row & 3)] = *src++;
+            }
+          } else {
+            for (; p < seg_end; ++p, ++col) {
+              const int32_t row = cur[(size_t)p]++;
+              base[(size_t)row * tile_w + col] = *src++;
+            }
           }
         }
       }

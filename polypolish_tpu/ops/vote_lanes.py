@@ -258,8 +258,14 @@ def prepare_lanes(
     row_base = np.concatenate(([0], np.cumsum(rows_per_tile)))[:-1]
     total_rows = int(rows_per_tile.sum())
 
-    # occurrence index of each event within its position (stable sort)
-    order = np.argsort(pos.astype(np.int32), kind="stable")
+    # occurrence index of each event within its position (stable sort);
+    # the int32 cast is a measured sort speedup and is safe because the
+    # mask above bounds pos < num_positions — guard the precondition so
+    # a >2^31-position genome can never silently wrap (ADVICE round 3)
+    if num_positions <= 2**31:
+        order = np.argsort(pos.astype(np.int32), kind="stable")
+    else:  # pragma: no cover - no real genome is this long
+        order = np.argsort(pos, kind="stable")
     spos = pos[order]
     pos_start = np.concatenate(([0], np.cumsum(depth)))
     occ = np.arange(spos.size, dtype=np.int64) - pos_start[spos]

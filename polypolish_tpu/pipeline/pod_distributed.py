@@ -269,18 +269,27 @@ def polish_pod_distributed(
                     # associative, so this is bitwise-identical to the
                     # host fold (asserted in tests/test_pod_distributed).
                     from polypolish_tpu.models.polisher import LanesPolisher
+                    from polypolish_tpu.pipeline.polish import _pad_bucket
 
-                    model = _MODEL_CACHE.get(("lanes", P))
+                    # geometric position bucket: contigs of similar
+                    # length share one compiled graph (mirrors
+                    # _polish_device_runs)
+                    p_pad = _pad_bucket(P)
+                    model = _MODEL_CACHE.get(("lanes", p_pad))
                     if model is None:
-                        model = LanesPolisher(P)
-                        _MODEL_CACHE[("lanes", P)] = model
+                        model = LanesPolisher(p_pad)
+                        _MODEL_CACHE[("lanes", p_pad)] = model
                     pack = shard.lanes(name, model.r_sub, model.tile_w,
+                                       num_positions=p_pad,
                                        packed4=(model.body == "packed4"))
-                    counts_local = np.asarray(
-                        model.vote_counts(pack.vb, pack.block_tile)
-                    )[:, :P]
-                    pack.close()
-                    sp, sv, sc = shard.sparse(name)
+                    if pack is not None:
+                        counts_local = np.asarray(
+                            model.vote_counts(pack.vb, pack.block_tile)
+                        )[:, :P]
+                        pack.close()
+                        sp, sv, sc = shard.sparse(name)
+                    else:  # allocation failure -> host fold fallback
+                        counts_local, _d, (sp, sv, sc) = shard.fold(name)
                 else:
                     counts_local, _d, (sp, sv, sc) = shard.fold(name)
                 counts = _psum_i32(counts_local)

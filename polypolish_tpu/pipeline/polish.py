@@ -536,13 +536,21 @@ def _window_min() -> int:
 
 
 def _window_size() -> int:
+    """Window width for the streaming fold.  The 1 MiB floor applies
+    only to the built-in default — an explicit POLYPOLISH_TPU_WINDOW may
+    be arbitrarily small (tests use tiny windows on short genomes to
+    exercise the multi-window boundary logic)."""
     import os
 
-    try:
-        return max(1 << 20,
-                   int(os.environ.get("POLYPOLISH_TPU_WINDOW", 8_000_000)))
-    except ValueError:
-        return 8_000_000
+    raw = os.environ.get("POLYPOLISH_TPU_WINDOW")
+    if raw is not None:
+        try:
+            v = int(raw)
+            if v > 0:
+                return v
+        except ValueError:
+            pass
+    return 8_000_000
 
 
 def _polish_host_runs_windowed(

@@ -75,6 +75,66 @@ def test_mesh_pack_counts_bitwise(tmp_path, mesh_shape, packed4):
     pr.close()
 
 
+def test_mesh_pack_native_packed4_layout(tmp_path):
+    """The native packed4 mesh buffers must equal to_packed4() of the
+    native uint8 ones — i.e. the in-C++ byte addressing reproduces the
+    host re-layout pass it replaced (round-3 weak item #2)."""
+    from polypolish_tpu.ops.vote_lanes import to_packed4
+
+    pr, names, lens = _parsed(tmp_path, seed=13)
+    name = names[0]
+    n_data, n_pos = 2, 4
+    vb_u8, bt_u8, p_shard, n_tiles = pr.lanes_mesh(
+        name, n_data, n_pos, R_SUB, TILE_W, packed4=False
+    )
+    vb_p4, bt_p4, p_shard2, n_tiles2 = pr.lanes_mesh(
+        name, n_data, n_pos, R_SUB, TILE_W, packed4=True
+    )
+    assert (p_shard, n_tiles) == (p_shard2, n_tiles2)
+    np.testing.assert_array_equal(bt_u8, bt_p4)
+    assert vb_p4.dtype == np.int32
+    for d in range(n_data):
+        for s in range(n_pos):
+            np.testing.assert_array_equal(
+                vb_p4[d, s], to_packed4(vb_u8[d, s], R_SUB)
+            )
+    pr.close()
+
+
+def test_mesh_pack_deep_shard_slab_rounding(tmp_path):
+    """A shard needing more than MAX_BLOCKS_PER_CALL blocks must come
+    back slab-rounded (B a multiple of 32768) so _lanes_call's slab
+    split assertion holds (ADVICE round 3, medium #2)."""
+    from polypolish_tpu.ops.vote_lanes import MAX_BLOCKS_PER_CALL
+
+    r_sub = 4
+    seq = "ACGT" * 32  # 128 bp contig -> one 128-wide tile
+    n_reads = r_sub * MAX_BLOCKS_PER_CALL + 40  # rows > 131072
+    lines = ["@SQ\tSN:c\tLN:128"]
+    for i in range(n_reads):
+        lines.append(
+            f"r{i}\t0\tc\t1\t60\t128M\t*\t0\t0\t{seq}\t*\tNM:i:0"
+        )
+    sam = tmp_path / "deep.sam"
+    sam.write_text("\n".join(lines) + "\n")
+    pr = native_runs.parse_runs([str(sam)], ["c"], {"c": 128}, Vocab(),
+                                10, False)
+    vb, bt, p_shard, n_tiles = pr.lanes_mesh("c", 1, 1, r_sub, 128)
+    B = bt.shape[2]
+    assert B > MAX_BLOCKS_PER_CALL
+    assert B % MAX_BLOCKS_PER_CALL == 0
+    # numpy twin of the kernel body (interpret mode over 65k grid steps
+    # would take minutes): per-vocab byte counts per column must equal
+    # the host fold
+    rows = vb.reshape(-1, 128)
+    counts = np.stack(
+        [(rows == v).sum(axis=0, dtype=np.int64) for v in range(8)]
+    )
+    ref = pr.fold("c")[0]
+    np.testing.assert_array_equal(counts, ref[:, :128])
+    pr.close()
+
+
 def test_mesh_pack_thread_invariant(tmp_path):
     pr, names, lens = _parsed(tmp_path, seed=8)
     name = names[0]

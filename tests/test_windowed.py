@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(
 
 
 def _run(tmp_path, fasta, sams, monkeypatch, window_min, window=None,
-         tag=""):
+         tag="", multi_window=True):
     asm = tmp_path / f"asm{tag}.fasta"
     asm.write_text(synth.fasta_text(fasta))
     paths = []
@@ -29,6 +29,21 @@ def _run(tmp_path, fasta, sams, monkeypatch, window_min, window=None,
     monkeypatch.setenv("POLYPOLISH_TPU_WINDOW_MIN", str(window_min))
     if window is not None:
         monkeypatch.setenv("POLYPOLISH_TPU_WINDOW", str(window))
+        # the effective window must be exactly what we asked for — the
+        # round-3 1 MiB floor silently turned every small test window
+        # into a single-window run (ADVICE round 3)
+        import importlib
+
+        polish_mod = importlib.import_module(
+            "polypolish_tpu.pipeline.polish"
+        )
+        assert polish_mod._window_size() == window
+        if multi_window:
+            longest = max(len(seq) for _n, _d, seq in fasta)
+            assert longest > window, (
+                f"test misconfigured: window {window} >= longest contig "
+                f"{longest} — boundary logic not exercised"
+            )
     out = io.StringIO()
     err = io.StringIO()
     import contextlib
@@ -52,7 +67,10 @@ def test_windowed_matches_full(tmp_path, monkeypatch, window):
     full, full_stats = _run(tmp_path, fasta, [sam_text], monkeypatch,
                 window_min=0, tag="f")  # 0 -> windowing disabled
     win, win_stats = _run(tmp_path, fasta, [sam_text], monkeypatch,
-               window_min=1, window=window, tag=f"w{window}")
+               window_min=1, window=window, tag=f"w{window}",
+               # the 1<<20 case deliberately covers the degenerate
+               # single-window run of the windowed code path
+               multi_window=(window < 5000))
     assert win == full
     assert win_stats == full_stats
 
