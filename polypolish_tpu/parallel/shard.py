@@ -136,115 +136,6 @@ def make_sharded_polish_step(mesh: Mesh, p_shard: int):
     return jax.jit(sharded)
 
 
-def bucket_chunks_for_mesh(
-    pos: np.ndarray,
-    vocab: np.ndarray,
-    num_positions: int,
-    n_data: int,
-    n_pos: int,
-    tile_p: Optional[int] = None,
-    e_sub: Optional[int] = None,
-):
-    """Route events to (data, pos) shards and run the Pallas chunk prep
-    per shard, padding all shards to a common chunk count.
-
-    Returns (chunk_pos (D,S,C*e_sub,128), chunk_vocab likewise,
-    chunk_tile (D,S,C), p_shard, n_tiles).
-    """
-    from polypolish_tpu.ops import vote_pallas
-
-    tile_p = tile_p or vote_pallas.TILE_P
-    e_sub = e_sub or vote_pallas.E_SUB
-
-    mask = (vocab >= 0) & (vocab < DENSE_V) & (pos >= 0) & (pos < num_positions)
-    pos = np.asarray(pos[mask], dtype=np.int64)
-    vocab = np.asarray(vocab[mask], dtype=np.int32)
-
-    p_shard = -(-num_positions // n_pos)
-    p_shard = max(tile_p, -(-p_shard // tile_p) * tile_p)
-    n_tiles = p_shard // tile_p
-    shard_of = pos // p_shard
-    data_of = np.arange(pos.size, dtype=np.int64) % n_data
-
-    preps = []
-    max_chunks = 1
-    for d in range(n_data):
-        row = []
-        for s in range(n_pos):
-            sel = (data_of == d) & (shard_of == s)
-            cp, cv, ct, nt = vote_pallas.prepare_chunks(
-                pos[sel] - s * p_shard, vocab[sel], p_shard, tile_p, e_sub
-            )
-            assert nt == n_tiles
-            row.append((cp, cv, ct))
-            max_chunks = max(max_chunks, ct.shape[0])
-        preps.append(row)
-
-    c = max_chunks
-    chunk_pos = np.full((n_data, n_pos, c * e_sub, 128), -1, dtype=np.int32)
-    chunk_vocab = np.zeros((n_data, n_pos, c * e_sub, 128), dtype=np.int32)
-    chunk_tile = np.full((n_data, n_pos, c), n_tiles - 1, dtype=np.int32)
-    for d in range(n_data):
-        for s in range(n_pos):
-            cp, cv, ct = preps[d][s]
-            nc = ct.shape[0]
-            chunk_pos[d, s, : nc * e_sub] = cp
-            chunk_vocab[d, s, : nc * e_sub] = cv
-            chunk_tile[d, s, :nc] = ct
-    return chunk_pos, chunk_vocab, chunk_tile, p_shard, n_tiles
-
-
-def make_sharded_polish_step_pallas(
-    mesh: Mesh, p_shard: int, n_tiles: int,
-    tile_p: Optional[int] = None, e_sub: Optional[int] = None,
-    interpret: Optional[bool] = None,
-):
-    """SPMD step with the MXU one-hot-matmul vote kernel per shard.
-
-    Same contract as make_sharded_polish_step but events arrive as
-    pre-bucketed kernel chunks (see bucket_chunks_for_mesh): each device
-    runs the Pallas kernel on its chunk slab, counts psum over 'data',
-    consensus per position shard.
-    """
-    from polypolish_tpu.ops import vote_pallas
-
-    tile_p = tile_p or vote_pallas.TILE_P
-    e_sub = e_sub or vote_pallas.E_SUB
-    if interpret is None:
-        interpret = vote_pallas._default_interpret()
-
-    def local_step(chunk_pos, chunk_vocab, chunk_tile,
-                   valid_thr, invalid_thr, low_depth, orig_id):
-        counts = vote_pallas._vote_pallas_call(
-            chunk_pos.reshape(-1, 128), chunk_vocab.reshape(-1, 128),
-            chunk_tile.reshape(-1),
-            n_tiles=n_tiles, interpret=interpret,
-            tile_p=tile_p, e_sub=e_sub,
-        )[:, :p_shard]
-        counts = jax.lax.psum(counts, "data")
-        new_id, status = consensus_dense_core(
-            counts, valid_thr, invalid_thr, low_depth, orig_id
-        )
-        return counts, new_id, status
-
-    sharded = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(
-            P("data", "pos", None, None),
-            P("data", "pos", None, None),
-            P("data", "pos", None),
-            P("pos"), P("pos"), P("pos"), P("pos"),
-        ),
-        out_specs=(P(None, "pos"), P("pos"), P("pos")),
-        # pallas_call's out_shape carries no varying-mesh-axes info, so
-        # the vma checker cannot see through it; correctness is covered
-        # by the bitwise single-device equality tests
-        check_vma=False,
-    )
-    return jax.jit(sharded)
-
-
 def sharded_vote_consensus(
     mesh: Mesh,
     pos: np.ndarray,
@@ -288,48 +179,6 @@ def sharded_vote_consensus(
     )
 
 
-def sharded_vote_consensus_pallas(
-    mesh: Mesh,
-    pos: np.ndarray,
-    vocab: np.ndarray,
-    num_positions: int,
-    valid_thr: np.ndarray,
-    invalid_thr: np.ndarray,
-    low_depth: np.ndarray,
-    orig_id: np.ndarray,
-    interpret: Optional[bool] = None,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Like sharded_vote_consensus, but each shard votes through the
-    Pallas MXU kernel (the multi-chip production path)."""
-    n_data, n_pos = mesh.devices.shape
-    chunk_pos, chunk_vocab, chunk_tile, p_shard, n_tiles = (
-        bucket_chunks_for_mesh(pos, vocab, num_positions, n_data, n_pos)
-    )
-    p_total = p_shard * n_pos
-
-    def pad_p(arr, fill):
-        out = np.full(p_total, fill, dtype=arr.dtype)
-        out[: arr.shape[0]] = arr
-        return out
-
-    step = make_sharded_polish_step_pallas(
-        mesh, p_shard, n_tiles, interpret=interpret
-    )
-    counts, new_id, status = step(
-        jnp.asarray(chunk_pos), jnp.asarray(chunk_vocab),
-        jnp.asarray(chunk_tile),
-        jnp.asarray(pad_p(np.asarray(valid_thr, np.int32), 2**31 - 1)),
-        jnp.asarray(pad_p(np.asarray(invalid_thr, np.int32), 2**31 - 1)),
-        jnp.asarray(pad_p(np.asarray(low_depth, bool), True)),
-        jnp.asarray(pad_p(np.asarray(orig_id, np.int32), 0)),
-    )
-    return (
-        np.array(counts)[:, :num_positions],
-        np.array(new_id)[:num_positions],
-        np.array(status)[:num_positions],
-    )
-
-
 def bucket_lanes_for_mesh(
     pos: np.ndarray,
     vocab: np.ndarray,
@@ -342,11 +191,13 @@ def bucket_lanes_for_mesh(
 ):
     """Route events to (data, pos) shards and pack each shard into the
     lane-aligned layout (ops/vote_lanes.py), padded to a common block
-    count.
+    count — fully vectorised (no per-(d,s) Python loop; the production
+    path uses the one-call native twin ``pp_lanes_mesh``, this numpy
+    packer is the no-native fallback and test oracle).
 
     Returns (vb, block_tile (D, S, B) int32, p_shard, n_tiles) with vb
     in the packed4 layout — (D, S, B*r_sub//4, tile_w) int32, four
-    byte-rows per lane (the flagship kernel body's input; see
+    byte-rows per int32 lane (the flagship kernel body's input; see
     ops/vote_lanes.py) — when body='packed4' (default), else
     (D, S, B*r_sub, tile_w) uint8 rows.  Counts are psum-exact: any
     event->data split is bitwise equivalent (integer adds commute), so
@@ -356,50 +207,93 @@ def bucket_lanes_for_mesh(
 
     r_sub = r_sub or vote_lanes.R_SUB
     tile_w = tile_w or vote_lanes.TILE_W
+    if body == "packed4":
+        assert r_sub % 4 == 0
 
     mask = (vocab >= 0) & (vocab < DENSE_V) & (pos >= 0) & (pos < num_positions)
     pos = np.asarray(pos[mask], dtype=np.int64)
-    vocab = np.asarray(vocab[mask], dtype=np.int32)
+    vocab = np.asarray(vocab[mask], dtype=np.uint8)
 
     p_shard = -(-num_positions // n_pos)
     p_shard = max(tile_w, -(-p_shard // tile_w) * tile_w)
     n_tiles = p_shard // tile_w
-    shard_of = pos // p_shard
+    p_total = p_shard * n_pos
+    tiles_total = n_tiles * n_pos
     data_of = np.arange(pos.size, dtype=np.int64) % n_data
 
-    packs = []
-    max_blocks = 1
-    for d in range(n_data):
-        row = []
-        for s in range(n_pos):
-            sel = (data_of == d) & (shard_of == s)
-            vb, bt, nt = vote_lanes.prepare_lanes(
-                pos[sel] - s * p_shard, vocab[sel], p_shard,
-                r_sub=r_sub, tile_w=tile_w,
-            )
-            assert nt == n_tiles
-            row.append((vb, bt))
-            max_blocks = max(max_blocks, bt.shape[0])
-        packs.append(row)
+    # depth per (data slice, global position) in one bincount
+    depth = np.bincount(
+        data_of * p_total + pos, minlength=n_data * p_total
+    ).reshape(n_data, p_total)
+    # rows per (d, global tile): tile-max depth rounded up to r_sub
+    rows_per = np.maximum(
+        r_sub,
+        -(-depth.reshape(n_data, tiles_total, tile_w).max(axis=2)
+          // r_sub) * r_sub,
+    ).astype(np.int64)
+    blocks_per = rows_per // r_sub                      # (D, tiles_total)
+    blocks_per_shard = blocks_per.reshape(
+        n_data, n_pos, n_tiles
+    ).sum(axis=2)                                       # (D, S)
+    # common padded block count B (geometric + slab, matching
+    # vote_lanes._pad_block_count semantics on the max shard)
+    n = max(int(blocks_per_shard.max()), 8)
+    shift = max(n.bit_length() - 1 - 3, 0)
+    step = 1 << shift
+    b = -(-n // step) * step
+    m = vote_lanes.MAX_BLOCKS_PER_CALL
+    if b > m:
+        b = -(-b // m) * m
 
-    b = max_blocks
-    vb_all = np.full((n_data, n_pos, b * r_sub, tile_w),
-                     vote_lanes.PAD_BYTE, dtype=np.uint8)
+    # block_tile: per (d, s) the local tile index of each emitted block,
+    # padded with n_tiles-1 (all vectorised via repeat + group offsets)
     bt_all = np.full((n_data, n_pos, b), n_tiles - 1, dtype=np.int32)
-    for d in range(n_data):
-        for s in range(n_pos):
-            vb, bt = packs[d][s]
-            nb = bt.shape[0]
-            vb_all[d, s, : nb * r_sub] = vb
-            bt_all[d, s, :nb] = bt
+    tile_vals = np.tile(np.arange(n_tiles, dtype=np.int32),
+                        n_data * n_pos)
+    emitted_tile = np.repeat(tile_vals, blocks_per.reshape(-1))
+    shard_starts = np.concatenate(
+        ([0], np.cumsum(blocks_per_shard.reshape(-1)))
+    )
+    shard_of_block = np.repeat(
+        np.arange(n_data * n_pos), blocks_per_shard.reshape(-1)
+    )
+    within = np.arange(emitted_tile.size) - shard_starts[shard_of_block]
+    bt_all.reshape(-1)[shard_of_block * b + within] = emitted_tile
+
+    # row base of each (d, global tile) within its shard buffer
+    rows_ds = rows_per.reshape(n_data, n_pos, n_tiles)
+    row_base = (np.cumsum(rows_ds, axis=2) - rows_ds).reshape(
+        n_data, tiles_total
+    )
+
+    # occurrence index per (d, global position) via one stable sort
+    key = data_of * p_total + pos
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    key_start = np.concatenate(([0], np.cumsum(depth.reshape(-1))))
+    occ = np.arange(skey.size, dtype=np.int64) - key_start[skey]
+
+    d_s = data_of[order]
+    gpos = pos[order]
+    tile_g = gpos // tile_w
+    col = gpos - tile_g * tile_w
+    shard = tile_g // n_tiles
+    row = row_base[d_s, tile_g] + occ
+    shard_bytes = b * r_sub * tile_w
+    base = (d_s * n_pos + shard) * shard_bytes
+    vb_flat = np.full(n_data * n_pos * shard_bytes, vote_lanes.PAD_BYTE,
+                      dtype=np.uint8)
     if body == "packed4":
-        vb_all = np.stack([
-            np.stack([
-                vote_lanes.to_packed4(vb_all[d, s], r_sub)
-                for s in range(n_pos)
-            ])
-            for d in range(n_data)
-        ])
+        # scatter straight into the packed4 byte addressing (four
+        # byte-rows per int32 lane), no re-layout pass
+        byte_idx = base + (row >> 2) * (tile_w * 4) + col * 4 + (row & 3)
+        vb_flat[byte_idx] = vocab[order]
+        vb_all = vb_flat.view(np.int32).reshape(
+            n_data, n_pos, b * (r_sub // 4), tile_w
+        )
+    else:
+        vb_flat[base + row * tile_w + col] = vocab[order]
+        vb_all = vb_flat.reshape(n_data, n_pos, b * r_sub, tile_w)
     return vb_all, bt_all, p_shard, n_tiles
 
 
@@ -445,11 +339,42 @@ def make_sharded_polish_step_lanes(
             P("pos"), P("pos"), P("pos"), P("pos"),
         ),
         out_specs=(P(None, "pos"), P("pos"), P("pos")),
-        # see make_sharded_polish_step_pallas: pallas out_shape hides
-        # varying mesh axes from the vma checker
+        # pallas_call's out_shape carries no varying-mesh-axes info, so
+        # the vma checker cannot see through it; correctness is covered
+        # by the bitwise single-device equality tests
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+_STEP_CACHE: dict = {}
+
+
+def get_sharded_polish_step_lanes(
+    mesh: Mesh, p_shard: int, n_tiles: int,
+    r_sub: Optional[int] = None, tile_w: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    body: str = "packed4",
+):
+    """Cached make_sharded_polish_step_lanes: repeated contigs/genomes
+    with the same shard geometry reuse one jitted SPMD step instead of
+    re-tracing (jax.jit caches per function object, so the builder must
+    be memoised for the cache to hit)."""
+    from polypolish_tpu.ops import vote_lanes
+
+    r_sub = r_sub or vote_lanes.R_SUB
+    tile_w = tile_w or vote_lanes.TILE_W
+    if interpret is None:
+        interpret = vote_lanes._default_interpret()
+    key = (mesh, p_shard, n_tiles, r_sub, tile_w, interpret, body)
+    step = _STEP_CACHE.get(key)
+    if step is None:
+        step = make_sharded_polish_step_lanes(
+            mesh, p_shard, n_tiles, r_sub=r_sub, tile_w=tile_w,
+            interpret=interpret, body=body,
+        )
+        _STEP_CACHE[key] = step
+    return step
 
 
 def sharded_vote_consensus_lanes(
@@ -478,8 +403,8 @@ def sharded_vote_consensus_lanes(
         out[: arr.shape[0]] = arr
         return out
 
-    step = make_sharded_polish_step_lanes(mesh, p_shard, n_tiles,
-                                          interpret=interpret)
+    step = get_sharded_polish_step_lanes(mesh, p_shard, n_tiles,
+                                         interpret=interpret)
     counts, new_id, status = step(
         jnp.asarray(vb), jnp.asarray(bt),
         jnp.asarray(pad_p(np.asarray(valid_thr, np.int32), 2**31 - 1)),

@@ -641,6 +641,54 @@ def _pad_bucket(n: int, granularity_bits: int = 3, minimum: int = 4096) -> int:
 _MODEL_CACHE: Dict = {}
 
 
+def _polish_sharded_lanes(
+    runs_handle, mesh, name, seq_len,
+    valid_thr, invalid_thr, low_depth, orig_id,
+):
+    """The flagship SPMD step: native one-call lanes mesh pack ->
+    lane-aligned VPU vote kernel per (data, pos) shard -> int psum ->
+    position-sharded consensus.  Returns (counts, new_id, status) or
+    None (native pack unavailable -> caller falls back to the XLA
+    scatter step).  Bitwise-identical to the host fold across mesh
+    shapes (tests/test_lanes_mesh.py, tests/test_sharded_backend.py)."""
+    import jax.numpy as jnp
+
+    from polypolish_tpu.ops import vote_lanes
+    from polypolish_tpu.parallel import get_sharded_polish_step_lanes
+
+    n_data, n_pos = mesh.devices.shape
+    try:
+        packed = runs_handle.lanes_mesh(
+            name, n_data, n_pos, vote_lanes.R_SUB, vote_lanes.TILE_W,
+            packed4=True,
+        )
+    except Exception:
+        return None
+    if packed is None:
+        return None
+    vb, bt, p_shard, n_tiles = packed
+    p_total = p_shard * n_pos
+
+    def pad_p(arr, fill, dtype):
+        out = np.full(p_total, fill, dtype=dtype)
+        out[:seq_len] = arr
+        return jnp.asarray(out)
+
+    step = get_sharded_polish_step_lanes(mesh, p_shard, n_tiles)
+    i32max = np.int32(2**31 - 1)
+    counts_j, new_id_j, status_j = step(
+        jnp.asarray(vb), jnp.asarray(bt),
+        pad_p(valid_thr, i32max, np.int32),
+        pad_p(invalid_thr, i32max, np.int32),
+        pad_p(low_depth, True, bool),
+        pad_p(orig_id, 0, np.int32),
+    )
+    counts = counts_j[:, :seq_len]
+    new_id = np.array(new_id_j)[:seq_len]
+    status = np.array(status_j)[:seq_len]
+    return counts, new_id, status
+
+
 def _polish_device_runs(
     runs_handle, name, seq_len, orig_id,
     min_depth, fraction_valid, fraction_invalid, backend,
@@ -668,6 +716,22 @@ def _polish_device_runs(
         if mesh is None:
             mesh = make_mesh()
             _MODEL_CACHE["mesh"] = mesh
+
+        if kernel_variant() == "lanes":
+            # production multi-chip path: the one-call native mesh pack
+            # (pp_lanes_mesh, packed4 layout in C++) feeding the
+            # lane-aligned VPU kernel per shard + exact int psum over
+            # 'data' (replaces pileup.rs:56-65 at pod scale; the XLA
+            # scatter step below stays as the no-native fallback)
+            result = _polish_sharded_lanes(
+                runs_handle, mesh, name, seq_len,
+                valid_thr, invalid_thr, low_depth, orig_id,
+            )
+            if result is not None:
+                counts, new_id, status = result
+                return (counts, new_id, status, depth, sparse,
+                        valid_thr, invalid_thr)
+
         pos, vid, _w = runs_handle.events(name)
         counts, new_id, status = sharded_vote_consensus(
             mesh, pos, vid, seq_len,
@@ -767,16 +831,29 @@ def _polish_device(
     )
 
     if backend == "sharded":
-        from polypolish_tpu.parallel import make_mesh, sharded_vote_consensus
+        from polypolish_tpu.parallel import (
+            make_mesh,
+            sharded_vote_consensus,
+            sharded_vote_consensus_lanes,
+        )
 
         mesh = _MODEL_CACHE.get("mesh")
         if mesh is None:
             mesh = make_mesh()
             _MODEL_CACHE["mesh"] = mesh
-        counts, new_id, status = sharded_vote_consensus(
-            mesh, pos, vid, seq_len,
-            valid_thr, invalid_thr, low_depth, orig_id,
-        )
+        if kernel_variant() == "lanes":
+            # lanes SPMD step fed by the vectorised numpy mesh packer
+            # (this path has no native runs handle — gzip input or
+            # --pure-python parse)
+            counts, new_id, status = sharded_vote_consensus_lanes(
+                mesh, pos, vid, seq_len,
+                valid_thr, invalid_thr, low_depth, orig_id,
+            )
+        else:
+            counts, new_id, status = sharded_vote_consensus(
+                mesh, pos, vid, seq_len,
+                valid_thr, invalid_thr, low_depth, orig_id,
+            )
         return counts, new_id, status, depth, sparse, valid_thr, invalid_thr
 
     p_pad = _pad_bucket(seq_len)

@@ -74,34 +74,6 @@ def test_sharded_equals_single_device(mesh_shape, seed):
     np.testing.assert_array_equal(status, status_ref)
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (8, 1)])
-def test_sharded_pallas_equals_single_device(mesh_shape):
-    """The per-shard Pallas-kernel SPMD path must also be bitwise equal
-    to single-device."""
-    from polypolish_tpu.parallel import sharded_vote_consensus_pallas
-
-    n_data, n_pos = mesh_shape
-    mesh = make_mesh(n_data, n_pos, devices=jax.devices()[: n_data * n_pos])
-
-    num_positions = 3000
-    pos, vocab, weight, orig_id = _case(7, num_positions=num_positions)
-    depth = depth_host(pos, weight, num_positions)
-    valid_thr, invalid_thr, low_depth = compute_thresholds(depth, 5, 0.5, 0.2)
-
-    counts_ref = dense_counts_host(pos, vocab, num_positions)
-    new_id_ref, status_ref = consensus_dense_numpy(
-        counts_ref, valid_thr, invalid_thr, low_depth, orig_id
-    )
-
-    counts, new_id, status = sharded_vote_consensus_pallas(
-        mesh, pos, vocab, num_positions,
-        valid_thr, invalid_thr, low_depth, orig_id, interpret=True,
-    )
-    np.testing.assert_array_equal(counts, counts_ref)
-    np.testing.assert_array_equal(new_id, new_id_ref)
-    np.testing.assert_array_equal(status, status_ref)
-
-
 def test_sharded_empty_events():
     mesh = make_mesh(2, 4)
     num_positions = 100
