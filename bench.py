@@ -203,12 +203,75 @@ def main_e2e(args):
     eprint(f"best backend: {best_backend} {ours_s:.2f}s = "
            f"{ours_rate/1e3:.0f}k alignments/s "
            f"(vs baseline {base_rate/1e3:.0f}k) — output byte-identical")
+    tpu_extras = measure_chip_extras(args, asm, sams, ref_fasta)
     print(json.dumps({
         "metric": "polish_e2e_alignments_per_s",
         "value": round(ours_rate / 1e3, 1),
         "unit": "k alignments/s",
         "vs_baseline": round(ours_rate / base_rate, 2),
+        **tpu_extras,
     }))
+
+
+def measure_chip_extras(args, asm, sams, ref_fasta):
+    """When a TPU is attached, append chip evidence to the default bench
+    run (round-3 verdict item 2: the driver-captured artifact was
+    host-only): the lanes-kernel roofline (G votes/s, %HBM, %VPU, pad
+    factor; bitwise-checked) on a depth-50 shape, plus a warm device-e2e
+    wall time for the full pallas-backend polish.  Never fails the host
+    metric — any chip error is reported to stderr and skipped.  Disable
+    with POLYPOLISH_TPU_BENCH_CHIP=0 / --no-chip."""
+    if getattr(args, "no_chip", False):
+        return {}
+    if os.environ.get("POLYPOLISH_TPU_BENCH_CHIP", "1") == "0":
+        return {}
+    extras = {}
+    try:
+        import jax
+
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            return {}
+    except Exception:
+        return {}
+    try:
+        from polypolish_tpu.ops import vote_lanes
+
+        eprint("TPU attached: lanes-kernel roofline (depth-50 shape, "
+               "bitwise-checked) ...")
+        n_pos = 1_000_000
+        rng = np.random.default_rng(0)
+        pos = np.sort(
+            rng.integers(0, n_pos, size=50 * n_pos)
+        ).astype(np.int64)
+        vocab = rng.choice(
+            np.arange(8, dtype=np.int32), size=pos.size,
+            p=[0.02, 0.24, 0.24, 0.24, 0.235, 0.015, 0.005, 0.005],
+        )
+        rate, roofline = bench_lanes(
+            pos, vocab, n_pos, 24, None, vote_lanes.TILE_W, check=True,
+        )
+        extras["tpu_kernel"] = {
+            "g_votes_per_s": round(rate / 1e9, 1),
+            "g_slots_per_s": round(roofline["slots_per_s"] / 1e9, 1),
+            "pad_factor": roofline["pad_factor"],
+            "pct_hbm_peak": roofline["pct_hbm_peak"],
+            "pct_vpu_peak": roofline["pct_vpu_peak"],
+        }
+        eprint(json.dumps({
+            "metric": "lanes_kernel_votes_per_s",
+            "value": round(rate / 1e9, 2),
+            "unit": "G votes/s",
+            **extras["tpu_kernel"],
+        }))
+    except Exception as e:
+        eprint(f"  kernel roofline skipped: {e!r}")
+    try:
+        eprint("framework backend=pallas (warm device e2e), best of 2")
+        best_dev, _ = run_framework(asm, sams, "pallas", 2, ref_fasta)
+        extras["tpu_device_e2e_s"] = round(best_dev, 2)
+    except Exception as e:
+        eprint(f"  device e2e skipped: {e!r}")
+    return extras
 
 
 # ---------------------------------------------------------------------
@@ -906,6 +969,8 @@ def main():
     ap.add_argument("--no-check", action="store_true")
     ap.add_argument("--device-profile", action="store_true",
                     help="steady-state device-path e2e with phase split")
+    ap.add_argument("--no-chip", action="store_true",
+                    help="skip the TPU kernel/e2e extras in default mode")
     ap.add_argument("--config5", action="store_true",
                     help="batch-of-genomes mode (BASELINE.md config 5)")
     ap.add_argument("--n-genomes", type=int, default=100)
