@@ -254,6 +254,7 @@ def measure_chip_extras(args, asm, sams, ref_fasta):
             "g_votes_per_s": round(rate / 1e9, 1),
             "g_slots_per_s": round(roofline["slots_per_s"] / 1e9, 1),
             "pad_factor": roofline["pad_factor"],
+            "overflow_frac": roofline["overflow_frac"],
             "pct_hbm_peak": roofline["pct_hbm_peak"],
             "pct_vpu_peak": roofline["pct_vpu_peak"],
         }
@@ -374,34 +375,44 @@ LANES_LANE_OPS_PER_SLOT_BY_BODY = {"packed4": 12, "packed": 16, "cmp": 24}
 LANES_LANE_OPS_PER_SLOT = 16  # legacy default
 
 
-def _auto_r_sub(pos, num_positions, tile_w):
+def _auto_r_sub(pos, num_positions, tile_w, cap=False):
     """Pick the packed4 row-block size from the depth profile: minimise
     estimated kernel time = slots (compute, ~constant G slots/s) +
-    blocks * step-overhead (~60k slot-equivalents per step, measured)."""
+    blocks * step-overhead (~60k slot-equivalents per step, measured).
+    With cap=True the candidate row counts come from the
+    depth-stratified policy (ops.vote_lanes.choose_rows_per_tile)."""
+    from polypolish_tpu.ops.vote_lanes import choose_rows_per_tile
+
     depth = np.bincount(pos, minlength=num_positions)
     n_tiles = max(1, -(-num_positions // tile_w))
-    pad = np.zeros(n_tiles * tile_w, dtype=depth.dtype)
+    pad = np.zeros(n_tiles * tile_w, dtype=np.int64)
     pad[:depth.shape[0]] = depth
-    rows = pad.reshape(n_tiles, tile_w).max(axis=1)
     best = (None, None)
     for c in (32, 64, 96, 128, 160, 192):
-        blocks = np.maximum(1, -(-rows // c))
-        cost = int(blocks.sum()) * (c * tile_w + 60_000)
+        rows = choose_rows_per_tile(pad, n_tiles, tile_w, c, cap=cap)
+        cost = int(rows.sum()) * tile_w \
+            + int((rows // c).sum()) * 60_000
         if best[0] is None or cost < best[0]:
             best = (cost, c)
     return best[1]
 
 
 def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
-                verbose=True, check=True, body="packed4"):
+                verbose=True, check=True, body="packed4", cap=False):
     """Lane-aligned VPU kernel (ops/vote_lanes.py) with noise-robust
     chained timing (the tunnel adds ~25-500 ms fixed per dispatch, so
     rate = best-of-reps of (T(1+iters) - T(1)) / iters) and a
-    roofline/MFU accounting block in the JSON."""
+    roofline/MFU accounting block in the JSON.  cap=True benches the
+    depth-stratified layout — the overflow scatter-add runs INSIDE the
+    timed body, so votes/s stays an honest whole-pileup rate."""
     import jax
     import jax.numpy as jnp
 
-    from polypolish_tpu.ops.vote_lanes import _lanes_call, prepare_lanes
+    from polypolish_tpu.ops.vote_lanes import (
+        _lanes_call,
+        add_overflow_counts,
+        prepare_lanes,
+    )
 
     platform = jax.devices()[0].platform
     interpret = platform not in ("tpu", "axon")
@@ -409,13 +420,19 @@ def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
 
     t0 = time.time()
     if r_sub is None:
-        r_sub = _auto_r_sub(pos, num_positions, tile_w)
+        r_sub = _auto_r_sub(pos, num_positions, tile_w, cap=cap)
         eprint(f"auto r_sub: {r_sub}")
-    vb, block_tile, n_tiles = prepare_lanes(
-        pos, vocab, num_positions, r_sub=r_sub, tile_w=tile_w
+    packed = prepare_lanes(
+        pos, vocab, num_positions, r_sub=r_sub, tile_w=tile_w, cap=cap
     )
+    if cap:
+        vb, block_tile, n_tiles, ov_pos, ov_vid = packed
+    else:
+        vb, block_tile, n_tiles = packed
+        ov_pos = ov_vid = None
     prep_s = time.time() - t0
     pad = vb.size / max(n_events, 1)
+    ov_frac = (ov_pos.size / max(n_events, 1)) if cap else 0.0
     if body == "packed4":
         from polypolish_tpu.ops.vote_lanes import to_packed4
 
@@ -424,11 +441,19 @@ def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
         arr = vb.view(np.int8)
     d_vb = jnp.asarray(arr)
     d_bt = jnp.asarray(block_tile)
-    jax.block_until_ready((d_vb, d_bt))
+    if cap and ov_pos.size:
+        d_op = jnp.asarray(ov_pos)
+        d_ov = jnp.asarray(ov_vid)
+        jax.block_until_ready((d_op, d_ov))
+    else:
+        d_op = d_ov = None
 
     def kernel_once(bt, v):
-        return _lanes_call(v, bt, n_tiles=n_tiles, interpret=interpret,
-                           r_sub=r_sub, tile_w=tile_w, body=body)
+        out = _lanes_call(v, bt, n_tiles=n_tiles, interpret=interpret,
+                          r_sub=r_sub, tile_w=tile_w, body=body)
+        if d_op is not None:
+            out = add_overflow_counts(out, d_op, d_ov)
+        return out
 
     if check:
         from polypolish_tpu.ops.vote import dense_counts_host
@@ -484,6 +509,7 @@ def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
         "votes_per_s": rate,
         "slots_per_s": slot_rate,
         "pad_factor": round(pad, 2),
+        "overflow_frac": round(ov_frac, 4),
         "bytes_per_s": slot_rate * 1 + out_bytes / best,
         "pct_hbm_peak": round(
             100 * (slot_rate + out_bytes / best) / HBM_PEAK_BYTES_PER_S, 1
@@ -496,8 +522,10 @@ def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
     }
     if verbose:
         eprint(
-            f"lanes[{body}] tile_w={tile_w} r_sub={r_sub}: prep {prep_s:.2f}s "
-            f"(pad {pad:.2f}x), compile {compile_s:.1f}s, "
+            f"lanes[{body}{'+cap' if cap else ''}] tile_w={tile_w} "
+            f"r_sub={r_sub}: prep {prep_s:.2f}s "
+            f"(pad {pad:.2f}x, ov {100*ov_frac:.2f}%), "
+            f"compile {compile_s:.1f}s, "
             f"kernel {best * 1000:.3f} ms -> {rate / 1e9:.2f} G votes/s "
             f"({slot_rate / 1e9:.1f} G slots/s, "
             f"{roofline['pct_vpu_peak']:.0f}% VPU peak, "
@@ -545,7 +573,7 @@ def main_kernel(args):
         tile_w = args.tile_p or vote_lanes.TILE_W
         rate, roofline = bench_lanes(
             pos, vocab, args.positions, max(args.iters, 24), r_sub, tile_w,
-            check=not args.no_check,
+            check=not args.no_check, cap=args.cap,
         )
         print(json.dumps({
             "metric": "pileup_vote_throughput",
@@ -969,6 +997,13 @@ def main():
     ap.add_argument("--no-check", action="store_true")
     ap.add_argument("--device-profile", action="store_true",
                     help="steady-state device-path e2e with phase split")
+    ap.add_argument("--cap", action="store_true",
+                    help="kernel mode: bench the depth-stratified cap "
+                    "layout (lower pad, but the overflow scatter-add "
+                    "costs ~8 ns/event on-chip — a win only where "
+                    "upload bytes dominate, i.e. the device e2e path)")
+    ap.add_argument("--no-cap", action="store_true",
+                    help="deprecated alias (uncapped is the default)")
     ap.add_argument("--no-chip", action="store_true",
                     help="skip the TPU kernel/e2e extras in default mode")
     ap.add_argument("--config5", action="store_true",

@@ -197,6 +197,15 @@ class LanesPolisher:
             return a + b
 
         @jax.jit
+        def _ov_add(counts, ov_pos, ov_vid):
+            # depth-stratified overflow events (cap layout): exact
+            # integer scatter-add on top of the kernel counts.  Pad and
+            # sparse-tier entries (pos >= width or vid >= 8) drop.
+            return counts.at[
+                ov_vid.astype(jnp.int32), ov_pos.astype(jnp.int32)
+            ].add(1, mode="drop")
+
+        @jax.jit
         def _finish(counts, valid_thr, invalid_thr, low_depth, orig_id):
             from polypolish_tpu.ops.consensus import (
                 ST_CHANGED,
@@ -219,9 +228,11 @@ class LanesPolisher:
         self._slab_jit = _slab
         self._single_jit = _single
         self._add_jit = _add
+        self._ov_add_jit = _ov_add
         self._finish_jit = _finish
 
-    def vote_counts(self, vb: np.ndarray, block_tile: np.ndarray):
+    def vote_counts(self, vb: np.ndarray, block_tile: np.ndarray,
+                    ov_pos=None, ov_vid=None):
         """(8, n_tiles*tile_w) int32 device counts from a host pack.
         Slab uploads are issued back-to-back with the kernel launches —
         jax's async dispatch overlaps slab s+1's transfer with slab s's
@@ -239,22 +250,44 @@ class LanesPolisher:
         rpb = self.rows_per_block
         n_blocks = vb.shape[0] // rpb
         if n_blocks <= self.max_blocks:
-            return self._single_jit(
+            total = self._single_jit(
                 jax.device_put(vb), jax.device_put(block_tile)
             )
-        assert n_blocks % self.max_blocks == 0, (n_blocks, self.max_blocks)
-        m = self.max_blocks
-        total = None
-        for s in range(n_blocks // m):
-            d_vb = jax.device_put(vb[s * m * rpb:(s + 1) * m * rpb])
-            d_bt = jax.device_put(block_tile[s * m:(s + 1) * m])
-            part = self._slab_jit(d_vb, d_bt)
-            total = part if total is None else self._add_jit(total, part)
+        else:
+            assert n_blocks % self.max_blocks == 0, (
+                n_blocks, self.max_blocks,
+            )
+            m = self.max_blocks
+            total = None
+            for s in range(n_blocks // m):
+                d_vb = jax.device_put(vb[s * m * rpb:(s + 1) * m * rpb])
+                d_bt = jax.device_put(block_tile[s * m:(s + 1) * m])
+                part = self._slab_jit(d_vb, d_bt)
+                total = part if total is None else self._add_jit(total, part)
+        if ov_pos is not None and len(ov_pos):
+            op, ov = self._pad_overflow(ov_pos, ov_vid)
+            total = self._ov_add_jit(
+                total, jax.device_put(op), jax.device_put(ov)
+            )
         return total
 
+    def _pad_overflow(self, ov_pos, ov_vid):
+        """Geometric-bucket padding of the overflow arrays so repeated
+        contigs share one compiled scatter shape (pad position = the
+        counts width, which mode='drop' discards)."""
+        n = max(int(len(ov_pos)), 8)
+        shift = max(n.bit_length() - 1 - 3, 0)
+        step = 1 << shift
+        padded = -(-n // step) * step
+        op = np.full(padded, self.n_tiles * self.tile_w, dtype=np.int32)
+        ov = np.zeros(padded, dtype=np.uint8)
+        op[:len(ov_pos)] = ov_pos
+        ov[:len(ov_vid)] = ov_vid
+        return op, ov
+
     def forward_pack(self, vb, block_tile, valid_thr, invalid_thr,
-                     low_depth, orig_id):
-        counts = self.vote_counts(vb, block_tile)
+                     low_depth, orig_id, ov_pos=None, ov_vid=None):
+        counts = self.vote_counts(vb, block_tile, ov_pos, ov_vid)
         return self._finish_jit(
             counts, valid_thr, invalid_thr, low_depth, orig_id
         )

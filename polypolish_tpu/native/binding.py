@@ -128,6 +128,9 @@ class _PPLanesView(ctypes.Structure):
         ("n_blocks", ctypes.c_int64),
         ("n_tiles", ctypes.c_int64),
         ("n_events", ctypes.c_int64),
+        ("ov_pos", ctypes.POINTER(ctypes.c_int32)),
+        ("ov_vid", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_overflow", ctypes.c_int64),
         ("handle", ctypes.c_void_p),
     ]
 
@@ -333,6 +336,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,                     # tile_w
             ctypes.c_int32,                     # n_threads
             ctypes.c_int32,                     # layout (0 rows, 1 packed4)
+            ctypes.c_int32,                     # cap (depth-stratified rows)
         ]
         lib.pp_free_lanes.argtypes = [ctypes.POINTER(_PPLanesView)]
         lib.pp_free_lanes.restype = None

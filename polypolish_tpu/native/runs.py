@@ -245,14 +245,19 @@ class ParsedRuns:
     def lanes(self, contig_name: str, r_sub: int, tile_w: int,
               n_threads: Optional[int] = None,
               num_positions: Optional[int] = None,
-              packed4: bool = False):
+              packed4: bool = False,
+              cap: bool = False):
         """Lane-aligned pack for the VPU vote kernel (ops/vote_lanes.py):
         returns a LanesPack exposing zero-copy (vb (n_blocks*r_sub,
         tile_w) uint8, block_tile int32 (n_blocks,), n_tiles) — one
         vocab byte per event at column pos%tile_w, pad byte 255.  The
         arrays stay valid until the pack is closed/garbage-collected
         (callers upload to device, then drop it).  num_positions may
-        exceed the contig length (position-axis padding)."""
+        exceed the contig length (position-axis padding).  cap=True
+        uses the depth-stratified layout (~1.3x pad at depth 50 instead
+        of ~2x); the pack then carries .ov_pos/.ov_vid overflow events
+        the consumer must scatter-add onto the kernel counts
+        (ops.vote_lanes.add_overflow_counts)."""
         from polypolish_tpu.native import binding
 
         cid = self.contig_names.index(contig_name)
@@ -262,7 +267,7 @@ class ParsedRuns:
             n_threads = binding.default_threads()
         lv = self._lib.pp_lanes_from_runs(
             self._view, cid, P, r_sub, tile_w, n_threads,
-            1 if packed4 else 0,
+            1 if packed4 else 0, 1 if cap else 0,
         )
         c = lv.contents
         if int(c.n_tiles) == 0 or not c.vb:
@@ -427,11 +432,16 @@ class LanesPack:
         else:
             self.vb = raw.reshape(self.n_blocks * r_sub, tile_w)
         self.block_tile = _as_np(c.block_tile, self.n_blocks, np.int32)
+        self.n_overflow = int(c.n_overflow)
+        self.ov_pos = _as_np(c.ov_pos, self.n_overflow, np.int32)
+        self.ov_vid = _as_np(c.ov_vid, self.n_overflow, np.uint8)
 
     def close(self) -> None:
         if self._view is not None:
             self.vb = None
             self.block_tile = None
+            self.ov_pos = None
+            self.ov_vid = None
             self._lib.pp_free_lanes(self._view)
             self._view = None
 

@@ -438,23 +438,25 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
   if (n_good == 0) return true;
   res.used_count += n_good;
 
+  // Per-group run-reuse cache for '*'-seq secondaries (the round-4
+  // config-3 lever: repeat-heavy all-locations SAMs are mostly such
+  // records, alignment.rs:161-167 scope).  A '*' secondary's effective
+  // sequence is primary_seq (same strand) or its revcomp (opposite),
+  // so two alignments with the SAME strand-vs-primary and the SAME
+  // CIGAR emit byte-identical vid runs (the walk, interning, and
+  // homopolymer trim are pure functions of (seq, cigar)); the second
+  // one is a memcpy of the first.  One cache slot per strand parity;
+  // sources are the primary itself or prior '*' secondaries.
+  struct RunReuse {
+    bool valid = false;
+    std::string_view cigar;
+    size_t mark = 0, new_count = 0, ov_lo = 0, ov_hi = 0;
+  } reuse_cache[2];
+
   for (Aln& a : group) {
     if (!a.good) continue;
-    const char* seq;
-    size_t seq_len;
-    if (a.seq_raw == "*") {
-      if (primary_seq.empty()) {
-        primary_seq.assign(primary->seq_raw);
-        ascii_upper_inplace(primary_seq);
-      }
-      a.seq_owned = (a.forward() == primary_fwd) ? primary_seq
-                                                 : revcomp_str(primary_seq);
-      seq = a.seq_owned.data();
-      seq_len = a.seq_owned.size();
-    } else {
-      seq = a.seq_raw.data();   // raw case: the LUT folds case per byte
-      seq_len = a.seq_raw.size();
-    }
+    const bool is_star = (a.seq_raw == "*");
+    const int slot = (a.forward() == primary_fwd) ? 0 : 1;
 
     int32_t contig;
     if (a.ref_name == w.last_ref) {   // consecutive hits share the contig
@@ -469,6 +471,48 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
       contig = cit->second;
       w.last_ref = a.ref_name;
       w.last_ref_id = contig;
+    }
+
+    if (is_star && reuse_cache[slot].valid &&
+        reuse_cache[slot].cigar == a.cigar) {
+      const RunReuse& rc = reuse_cache[slot];
+      if (rc.new_count == 0) continue;  // fully trimmed, nothing emitted
+      int64_t end_pos = a.ref_start + (int64_t)rc.new_count;
+      if (end_pos > sh.contig_lens[contig]) {
+        return w.fail("alignment for read " + std::string(a.read_name) +
+                          " extends past the end of contig " +
+                          std::string(a.ref_name),
+                      line_no);
+      }
+      const size_t base = w.vbytes.size();
+      w.vbytes.resize(base + rc.new_count);
+      memcpy(w.vbytes.data() + base, w.vbytes.data() + rc.mark,
+             rc.new_count);
+      for (size_t q = rc.ov_lo; q < rc.ov_hi; ++q)
+        w.overflow.emplace_back(
+            (int64_t)base + (w.overflow[q].first - (int64_t)rc.mark),
+            w.overflow[q].second);
+      w.run_contig.push_back(contig);
+      w.run_start.push_back((int32_t)a.ref_start);
+      w.run_len.push_back((int32_t)rc.new_count);
+      w.run_k.push_back(n_good);
+      continue;
+    }
+
+    const char* seq;
+    size_t seq_len;
+    if (is_star) {
+      if (primary_seq.empty()) {
+        primary_seq.assign(primary->seq_raw);
+        ascii_upper_inplace(primary_seq);
+      }
+      a.seq_owned = (a.forward() == primary_fwd) ? primary_seq
+                                                 : revcomp_str(primary_seq);
+      seq = a.seq_owned.data();
+      seq_len = a.seq_owned.size();
+    } else {
+      seq = a.seq_raw.data();   // raw case: the LUT folds case per byte
+      seq_len = a.seq_raw.size();
     }
 
     const size_t mark = w.vbytes.size();
@@ -628,6 +672,13 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
         --keep_ov;
       w.overflow.resize(keep_ov);
       w.vbytes.resize(mark + new_count);
+    }
+    // cache sources: the primary (its own seq) and '*' secondaries
+    // (primary +/- revcomp by construction) — other non-'*' records
+    // could carry arbitrary seqs, so they never seed the cache
+    if (is_star || &a == primary) {
+      reuse_cache[slot] = RunReuse{
+          true, a.cigar, mark, new_count, ov_mark, w.overflow.size()};
     }
     if (new_count == 0) continue;
 
@@ -3242,6 +3293,8 @@ struct LanesBuffers {
   uint8_t* vb = nullptr;
   size_t vb_size = 0;
   std::vector<int32_t> block_tile;
+  std::vector<int32_t> ov_pos;
+  std::vector<uint8_t> ov_vid;
   ~LanesBuffers() {
     if (vb) free(vb);
   }
@@ -3253,12 +3306,52 @@ struct PPLanesView {
   int64_t n_blocks;          // geometric+slab padded
   int64_t n_tiles;
   int64_t n_events;          // events placed (incl. sparse-tier bytes)
+  const int32_t* ov_pos;     // depth-stratified overflow events,
+  const uint8_t* ov_vid;     // sorted by (pos, vid); cap mode only
+  int64_t n_overflow;
   void* handle;
 };
 
+// Depth-stratified row cap for one tile (twin of the Python
+// choose_rows_per_tile policy in ops/vote_lanes.py — a pure function
+// of the tile's depth histogram, so both packers pick identical row
+// counts).  Returns the row count (multiple of r_sub) minimising
+// rows*tile_w + kOverflowWeight * sum(max(0, depth - rows)).
+constexpr int64_t kOverflowWeight = 64;
+
+static int64_t pick_capped_rows(const int32_t* depth, int64_t p_lo,
+                                int64_t p_hi, int32_t mx, int32_t r_sub,
+                                int32_t tile_w,
+                                std::vector<int64_t>& hist_scratch) {
+  int64_t r0 = ((int64_t)mx + r_sub - 1) / r_sub * r_sub;
+  if (r0 < r_sub) r0 = r_sub;
+  if (mx <= r_sub) return r0;
+  if ((int64_t)hist_scratch.size() < (int64_t)mx + 2)
+    hist_scratch.assign((size_t)mx + 2, 0);
+  else
+    std::fill(hist_scratch.begin(), hist_scratch.begin() + mx + 2, 0);
+  for (int64_t p = p_lo; p < p_hi; ++p) ++hist_scratch[(size_t)depth[p]];
+  int64_t best_c = r0;
+  int64_t best_cost = r0 * tile_w;  // zero overflow at the exact max
+  int64_t cnt_gt = 0, ov = 0;
+  for (int32_t d = mx - 1; d >= r_sub; --d) {
+    cnt_gt += hist_scratch[(size_t)d + 1];
+    ov += cnt_gt;
+    if (d % r_sub == 0) {
+      int64_t cost = (int64_t)d * tile_w + kOverflowWeight * ov;
+      if (cost < best_cost) {
+        best_cost = cost;
+        best_c = d;
+      }
+    }
+  }
+  return best_c;
+}
+
 PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
                                 int32_t r_sub, int32_t tile_w,
-                                int32_t n_threads, int32_t layout) {
+                                int32_t n_threads, int32_t layout,
+                                int32_t cap) {
   // layout 0: plain (rows, tile_w) uint8; layout 1: "packed4" — four
   // byte-rows share one int32 lane (row r -> word r>>2, byte r&3), the
   // zero-relayout input of the packed4 kernel body.  Pad bytes are
@@ -3294,10 +3387,13 @@ PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
     n_events += e - s;
   }
   // rows per tile = max prefix-summed depth in the window, rounded up
-  // to r_sub (min r_sub so every output block initialises)
+  // to r_sub (min r_sub so every output block initialises); with cap,
+  // the depth-stratified row cap (pick_capped_rows) instead — events
+  // above the cap take the overflow scatter path
   std::vector<int64_t> rows_per_tile((size_t)n_tiles, 0);
   std::vector<int32_t> depth((size_t)P, 0);
   {
+    std::vector<int64_t> hist_scratch;
     int32_t run = 0;
     for (int64_t t = 0; t < n_tiles; ++t) {
       int64_t p_lo = t * (int64_t)tile_w;
@@ -3308,8 +3404,14 @@ PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
         depth[(size_t)p] = run;
         mx = std::max(mx, run);
       }
-      int64_t rows = ((int64_t)mx + r_sub - 1) / r_sub * r_sub;
-      if (rows < r_sub) rows = r_sub;
+      int64_t rows;
+      if (cap) {
+        rows = pick_capped_rows(depth.data(), p_lo, p_hi, mx, r_sub,
+                                tile_w, hist_scratch);
+      } else {
+        rows = ((int64_t)mx + r_sub - 1) / r_sub * r_sub;
+        if (rows < r_sub) rows = r_sub;
+      }
       rows_per_tile[(size_t)t] = rows;
     }
   }
@@ -3383,6 +3485,7 @@ PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
     trange[(size_t)T] = n_tiles;
   }
   const int32_t max_len = rr->max_run_len;
+  std::vector<std::vector<uint64_t>> ov_keys((size_t)T);  // (pos<<8)|vid
   auto scatter_range = [&](int th) {
     const int64_t t_lo = trange[(size_t)th], t_hi = trange[(size_t)th + 1];
     if (t_lo >= t_hi) return;
@@ -3395,6 +3498,7 @@ PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
     if (p_hi <= p_lo) return;
     // per-position write cursors for this range only
     std::vector<int32_t> cur((size_t)(p_hi - p_lo), 0);
+    std::vector<uint64_t>& ov = ov_keys[(size_t)th];
     // first sorted run that can reach p_lo
     int64_t i0 = lo;
     if (max_len > 0) {
@@ -3419,17 +3523,26 @@ PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
       while (p < e) {
         const int64_t t = p / tile_w;
         const int64_t seg_end = std::min(e, (t + 1) * (int64_t)tile_w);
+        const int32_t rcap = (int32_t)rows_per_tile[(size_t)t];
         uint8_t* base = buf->vb + (size_t)row_base[(size_t)t] * tile_w;
         int64_t col = p - t * (int64_t)tile_w;
         if (layout == 1) {
           for (; p < seg_end; ++p, ++col) {
             const int32_t row = cur[(size_t)(p - p_lo)]++;
+            if (row >= rcap) {  // only reachable in cap mode
+              ov.push_back(((uint64_t)p << 8) | *src++);
+              continue;
+            }
             base[(size_t)(row >> 2) * tile_w * 4 + (size_t)col * 4 +
                  (size_t)(row & 3)] = *src++;
           }
         } else {
           for (; p < seg_end; ++p, ++col) {
             const int32_t row = cur[(size_t)(p - p_lo)]++;
+            if (row >= rcap) {
+              ov.push_back(((uint64_t)p << 8) | *src++);
+              continue;
+            }
             base[(size_t)row * tile_w + col] = *src++;
           }
         }
@@ -3442,6 +3555,25 @@ PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
     std::vector<std::thread> ts;
     for (int th = 0; th < T; ++th) ts.emplace_back(scatter_range, th);
     for (auto& t : ts) t.join();
+  }
+  if (cap) {
+    // merge per-thread overflows and sort by (pos, vid): deterministic
+    // regardless of the thread layout (multiset of events is invariant)
+    size_t n_ov = 0;
+    for (auto& v : ov_keys) n_ov += v.size();
+    std::vector<uint64_t> all;
+    all.reserve(n_ov);
+    for (auto& v : ov_keys) all.insert(all.end(), v.begin(), v.end());
+    std::sort(all.begin(), all.end());
+    buf->ov_pos.resize(n_ov);
+    buf->ov_vid.resize(n_ov);
+    for (size_t i = 0; i < n_ov; ++i) {
+      buf->ov_pos[i] = (int32_t)(all[i] >> 8);
+      buf->ov_vid[i] = (uint8_t)(all[i] & 0xff);
+    }
+    view->ov_pos = buf->ov_pos.data();
+    view->ov_vid = buf->ov_vid.data();
+    view->n_overflow = (int64_t)n_ov;
   }
   if (padded_blocks > n_blocks)
     memset(buf->vb + (size_t)n_blocks * r_sub * tile_w, 0xff,

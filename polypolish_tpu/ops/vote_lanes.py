@@ -229,20 +229,75 @@ def _pad_block_count(vb: np.ndarray, block_tile: np.ndarray, n_tiles: int,
             np.concatenate([block_tile, pad_tile]))
 
 
+# Cost weight of routing one event through the overflow scatter-add
+# instead of a lane slot, in slot-equivalents (upload is 5 B/event vs
+# 1 B/slot, plus the XLA scatter's per-event gather/update cost).  Used
+# by the depth-stratified row-cap policy below; the policy is a pure
+# function of the per-tile depth HISTOGRAM, so the native packer
+# (sam_packer.cc pick_capped_rows) reproduces it exactly and both
+# packers emit identical block streams.
+OVERFLOW_WEIGHT = 64
+
+
+def choose_rows_per_tile(
+    depth: np.ndarray, n_tiles: int, tile_w: int, r_sub: int,
+    cap: bool = False,
+) -> np.ndarray:
+    """Rows allocated per tile.  cap=False: ceil(max_depth/r_sub)*r_sub
+    (the round-3 exact-max layout).  cap=True: depth-stratified — per
+    tile, choose the row count C (multiple of r_sub) minimising
+    C*tile_w + OVERFLOW_WEIGHT * sum(max(0, d_p - C)); events above C
+    at a position take the overflow scatter path instead of a lane
+    slot.  Cuts the pad factor from ~2x to ~1.3x at depth 50 (round-3
+    verdict item 5: the gap between 292 G slots/s and 145 G votes/s
+    was padding, not the kernel body)."""
+    d2 = depth.reshape(n_tiles, tile_w)
+    max_per_tile = d2.max(axis=1)
+    rows = np.maximum(
+        r_sub, -(-max_per_tile // r_sub) * r_sub
+    ).astype(np.int64)
+    if not cap:
+        return rows
+    for t in np.nonzero(max_per_tile > r_sub)[0]:
+        d = np.sort(d2[t])
+        total = int(d.sum())
+        prefix = np.concatenate(([0], np.cumsum(d)))
+        r0 = int(rows[t])
+        best_cost = r0 * tile_w  # overflow 0 at the exact max
+        best_c = r0
+        c = r0 - r_sub
+        while c >= r_sub:
+            i = int(np.searchsorted(d, c, side="right"))
+            m = d.shape[0] - i  # positions with depth > c
+            ov = (total - int(prefix[i])) - c * m
+            cost = c * tile_w + OVERFLOW_WEIGHT * ov
+            if cost < best_cost:
+                best_cost = cost
+                best_c = c
+            c -= r_sub
+        rows[t] = best_c
+    return rows
+
+
 def prepare_lanes(
     pos: np.ndarray,
     vocab: np.ndarray,
     num_positions: int,
     r_sub: int = R_SUB,
     tile_w: int = TILE_W,
-) -> Tuple[np.ndarray, np.ndarray, int]:
+    cap: bool = False,
+):
     """Pack events into the lane-aligned layout (numpy reference packer;
     the native C++ twin is pp_lanes_from_runs, which packs straight from
     the run stream).
 
     Returns (vb (n_blocks*r_sub, tile_w) uint8, block_tile (n_blocks,)
     int32, n_tiles).  Sparse-tier / out-of-range events are dropped
-    (they are counted host-side).
+    (they are counted host-side).  With cap=True the rows per tile are
+    depth-stratified (see choose_rows_per_tile) and two extra arrays
+    are returned — (ov_pos int32, ov_vid uint8), sorted by (pos, vid) —
+    holding the events that must be scatter-added on top of the kernel
+    counts.
     """
     assert tile_w % 128 == 0 and r_sub % 8 == 0
     n_tiles = max(1, -(-num_positions // tile_w))
@@ -251,10 +306,9 @@ def prepare_lanes(
     vocab = np.asarray(vocab[mask], dtype=np.uint8)
 
     depth = np.bincount(pos, minlength=n_tiles * tile_w).astype(np.int64)
-    max_per_tile = depth.reshape(n_tiles, tile_w).max(axis=1)
-    rows_per_tile = np.maximum(
-        r_sub, -(-max_per_tile // r_sub) * r_sub
-    ).astype(np.int64)
+    rows_per_tile = choose_rows_per_tile(
+        depth, n_tiles, tile_w, r_sub, cap=cap
+    )
     row_base = np.concatenate(([0], np.cumsum(rows_per_tile)))[:-1]
     total_rows = int(rows_per_tile.sum())
 
@@ -272,14 +326,27 @@ def prepare_lanes(
 
     vb = np.full((total_rows, tile_w), PAD_BYTE, dtype=np.uint8)
     tile = spos // tile_w
-    row = row_base[tile] + occ
-    vb[row, spos % tile_w] = vocab[order]
+    svocab = vocab[order]
+    if cap:
+        keep = occ < rows_per_tile[tile]
+        row = row_base[tile[keep]] + occ[keep]
+        vb[row, spos[keep] % tile_w] = svocab[keep]
+        ovm = ~keep
+        ov_pos = spos[ovm].astype(np.int32)
+        ov_vid = svocab[ovm]
+        o = np.lexsort((ov_vid, ov_pos))  # deterministic (pos, vid)
+        ov_pos, ov_vid = ov_pos[o], ov_vid[o]
+    else:
+        row = row_base[tile] + occ
+        vb[row, spos % tile_w] = svocab
 
     block_tile = np.repeat(
         np.arange(n_tiles, dtype=np.int32),
         (rows_per_tile // r_sub).astype(np.int64),
     )
     vb, block_tile = _pad_block_count(vb, block_tile, n_tiles, r_sub, tile_w)
+    if cap:
+        return vb, block_tile, n_tiles, ov_pos, ov_vid
     return vb, block_tile, n_tiles
 
 
@@ -301,6 +368,17 @@ def _default_interpret() -> bool:
         return True
 
 
+def add_overflow_counts(counts, ov_pos, ov_vid):
+    """Scatter-add the depth-stratified overflow events (vocab bytes at
+    positions whose depth exceeded the tile's row cap) onto the kernel
+    counts.  Exact integer adds — bitwise-equal to having packed them
+    into lane slots.  Pad/sparse entries (vid >= 8 or pos >= P) drop."""
+    return counts.at[
+        jnp.asarray(ov_vid).astype(jnp.int32),
+        jnp.asarray(ov_pos).astype(jnp.int32),
+    ].add(1, mode="drop")
+
+
 def dense_counts_lanes(
     pos: np.ndarray,
     vocab: np.ndarray,
@@ -309,13 +387,20 @@ def dense_counts_lanes(
     r_sub: int = R_SUB,
     tile_w: int = TILE_W,
     body: str = "packed",
+    cap: bool = False,
 ) -> jnp.ndarray:
-    """(8, P) int32 dense vote counts via the lane-aligned VPU kernel."""
+    """(8, P) int32 dense vote counts via the lane-aligned VPU kernel.
+    cap=True uses the depth-stratified layout (smaller pad factor) and
+    folds the overflow events back in with one scatter-add."""
     if interpret is None:
         interpret = _default_interpret()
-    vb, block_tile, n_tiles = prepare_lanes(
-        pos, vocab, num_positions, r_sub, tile_w
+    packed = prepare_lanes(
+        pos, vocab, num_positions, r_sub, tile_w, cap=cap
     )
+    if cap:
+        vb, block_tile, n_tiles, ov_pos, ov_vid = packed
+    else:
+        vb, block_tile, n_tiles = packed
     arr = (to_packed4(vb, r_sub) if body == "packed4"
            else vb.view(np.int8))
     out = _lanes_jit(
@@ -323,4 +408,6 @@ def dense_counts_lanes(
         n_tiles=n_tiles, interpret=interpret, r_sub=r_sub, tile_w=tile_w,
         body=body,
     )
+    if cap and ov_pos.size:
+        out = add_overflow_counts(out, ov_pos, ov_vid)
     return out[:, :num_positions]

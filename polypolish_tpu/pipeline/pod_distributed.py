@@ -281,10 +281,12 @@ def polish_pod_distributed(
                         _MODEL_CACHE[("lanes", p_pad)] = model
                     pack = shard.lanes(name, model.r_sub, model.tile_w,
                                        num_positions=p_pad,
-                                       packed4=(model.body == "packed4"))
+                                       packed4=(model.body == "packed4"),
+                                       cap=True)
                     if pack is not None:
                         counts_local = np.asarray(
-                            model.vote_counts(pack.vb, pack.block_tile)
+                            model.vote_counts(pack.vb, pack.block_tile,
+                                              pack.ov_pos, pack.ov_vid)
                         )[:, :P]
                         pack.close()
                         sp, sv, sc = shard.sparse(name)

@@ -767,11 +767,12 @@ def _polish_device_runs(
             _MODEL_CACHE[key] = model
         pack = runs_handle.lanes(
             name, model.r_sub, model.tile_w, num_positions=p_pad,
-            packed4=(model.body == "packed4"),
+            packed4=(model.body == "packed4"), cap=True,
         )
         if pack is not None:
             counts_j, adopted_u8, status_u8 = model.forward_pack(
-                pack.vb, pack.block_tile, *thr_args
+                pack.vb, pack.block_tile, *thr_args,
+                ov_pos=pack.ov_pos, ov_vid=pack.ov_vid,
             )
             counts = counts_j[:, :seq_len]
             # compact uint8 fetch; new_id reconstructed host-side (see

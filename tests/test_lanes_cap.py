@@ -1,0 +1,203 @@
+"""Depth-stratified lanes layout (round-4): per-tile row caps cut the
+pad factor from ~2x to ~1.3x at depth 50; events above the cap travel
+as an overflow list and are scatter-added onto the kernel counts —
+exact integer adds, so counts stay bitwise identical to the host fold
+(pileup.rs:56-65 semantics)."""
+
+import numpy as np
+import pytest
+
+import tests.synth as synth
+from polypolish_tpu.io.fasta import load_fasta
+from polypolish_tpu.native import loader
+from polypolish_tpu.native import runs as native_runs
+from polypolish_tpu.ops.vote_lanes import (
+    add_overflow_counts,
+    choose_rows_per_tile,
+    dense_counts_lanes,
+    prepare_lanes,
+)
+from polypolish_tpu.ops.vote import dense_counts_host
+from polypolish_tpu.vocab import Vocab
+
+
+def _events(seed, n_events, num_positions, skew=False):
+    rng = np.random.default_rng(seed)
+    if skew:
+        # heavy-tailed depth: a few very deep positions per tile (the
+        # exact-max layout's worst case)
+        hot = rng.integers(0, num_positions, size=max(1, num_positions // 64))
+        pos = np.concatenate([
+            rng.integers(0, num_positions, size=n_events // 2),
+            rng.choice(hot, size=n_events - n_events // 2),
+        ]).astype(np.int64)
+    else:
+        pos = rng.integers(0, num_positions, size=n_events).astype(np.int64)
+    vocab = rng.integers(0, 8, size=n_events).astype(np.int32)
+    return pos, vocab
+
+
+@pytest.mark.parametrize("seed,skew", [(0, False), (1, True), (2, True)])
+@pytest.mark.parametrize("r_sub,tile_w", [(8, 128), (32, 256)])
+def test_capped_counts_bitwise(seed, skew, r_sub, tile_w):
+    num_positions, n_events = 4000, 120_000
+    pos, vocab = _events(seed, n_events, num_positions, skew)
+    want = dense_counts_host(pos, vocab, num_positions)
+    got = np.asarray(dense_counts_lanes(
+        pos, vocab, num_positions, interpret=True, r_sub=r_sub,
+        tile_w=tile_w, cap=True,
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cap_reduces_pad_factor():
+    """At Poisson-like depth 50 the capped layout must allocate
+    measurably fewer slots (the verdict's <=1.5x pad target; the
+    exact-max layout sits at ~2x)."""
+    num_positions = 64 * 2048
+    rng = np.random.default_rng(3)
+    depth = rng.poisson(50, size=num_positions)
+    pos = np.repeat(np.arange(num_positions, dtype=np.int64), depth)
+    vocab = rng.integers(0, 8, size=pos.size).astype(np.int32)
+
+    vb0, _bt0, _ = prepare_lanes(pos, vocab, num_positions,
+                                 r_sub=32, tile_w=2048)
+    vb1, _bt1, _n, ov_pos, ov_vid = prepare_lanes(
+        pos, vocab, num_positions, r_sub=32, tile_w=2048, cap=True
+    )
+    pad0 = vb0.size / pos.size
+    pad1 = vb1.size / pos.size
+    assert pad0 > 1.8, pad0          # sanity: the problem exists
+    assert pad1 <= 1.5, pad1         # the verdict's target
+    assert ov_pos.size < 0.02 * pos.size  # overflow stays tiny
+    # and the counts still agree exactly
+    got = np.asarray(dense_counts_lanes(
+        pos, vocab, num_positions, interpret=True, r_sub=32,
+        tile_w=2048, cap=True, body="cmp",
+    ))
+    want = dense_counts_host(pos, vocab, num_positions)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_choose_rows_identity_when_shallow():
+    # tiles at or below one block never shrink
+    depth = np.full(4 * 128, 5, dtype=np.int64)
+    rows = choose_rows_per_tile(depth, 4, 128, 8, cap=True)
+    np.testing.assert_array_equal(rows, np.full(4, 8))
+
+
+@pytest.mark.skipif(not loader.available(),
+                    reason="native library unavailable")
+class TestNativeCap:
+    def _parsed(self, tmp_path, seed=5):
+        fasta, sam_text = synth.make_polish_case(
+            seed=seed, genome_len=4000, n_reads=4000, read_len=60,
+            err=0.08, multi_frac=0.4,
+        )
+        asm = tmp_path / "a.fasta"
+        asm.write_text(synth.fasta_text(fasta))
+        sam = tmp_path / "a.sam"
+        sam.write_text(sam_text)
+        fa = load_fasta(asm)
+        names = [n for n, _, _ in fa]
+        lens = {n: len(s) for n, _, s in fa}
+        pr = native_runs.parse_runs([str(sam)], names, lens, Vocab(),
+                                    10, False)
+        return pr, names, lens
+
+    def test_native_cap_counts_match_fold(self, tmp_path):
+        import jax.numpy as jnp
+
+        from polypolish_tpu.ops.vote_lanes import _lanes_jit
+
+        r_sub, tile_w = 8, 256
+        pr, names, lens = self._parsed(tmp_path)
+        name = names[0]
+        P = lens[name]
+        counts_ref = pr.fold(name)[0]
+        pack = pr.lanes(name, r_sub, tile_w, cap=True)
+        out = _lanes_jit(
+            jnp.asarray(pack.vb.view(np.int8)),
+            jnp.asarray(pack.block_tile),
+            n_tiles=pack.n_tiles, interpret=True, r_sub=r_sub,
+            tile_w=tile_w,
+        )
+        out = add_overflow_counts(out, pack.ov_pos, pack.ov_vid)
+        np.testing.assert_array_equal(np.asarray(out)[:, :P], counts_ref)
+        pack.close()
+        pr.close()
+
+    def test_native_cap_policy_matches_numpy(self, tmp_path):
+        """Same depth profile => same row caps (the cap policy is a pure
+        function of the per-tile depth histogram in both packers).  The
+        native depth counts every run byte including sparse-tier
+        markers, so derive the expected caps from the raw run extents
+        rather than the (dense-masked) numpy event path."""
+        r_sub, tile_w = 8, 256
+        pr, names, lens = self._parsed(tmp_path, seed=9)
+        name = names[0]
+        P = lens[name]
+        cid = pr.contig_names.index(name)
+        rc, rs, rl, _rk, _vb, _oi, _ov = pr.raw()
+        sel = rc == cid
+        n_tiles = max(1, -(-P // tile_w))
+        depth = np.zeros(n_tiles * tile_w, dtype=np.int64)
+        for s, ln in zip(rs[sel].tolist(), rl[sel].tolist()):
+            lo, hi = max(0, s), min(P, s + ln)
+            if hi > lo:
+                depth[lo:hi] += 1
+        rows = choose_rows_per_tile(depth, n_tiles, tile_w, r_sub,
+                                    cap=True)
+        want_bt = np.repeat(np.arange(n_tiles, dtype=np.int32),
+                            (rows // r_sub).astype(np.int64))
+        pack = pr.lanes(name, r_sub, tile_w, cap=True)
+        # geometric padding appends (n_tiles-1)-tagged pad blocks
+        np.testing.assert_array_equal(
+            pack.block_tile[:want_bt.size], want_bt
+        )
+        assert np.all(pack.block_tile[want_bt.size:] == n_tiles - 1)
+        # every event is either in a lane slot or in the overflow list
+        # (sparse-tier events place byte 255, indistinguishable from
+        # padding here, so the visible-slot count is a lower bound)
+        slots_used = int((pack.vb != 255).sum())
+        assert slots_used + pack.n_overflow <= pack.n_events
+        assert pack.n_overflow < 0.05 * pack.n_events
+        # overflow is (pos, vid)-sorted (deterministic across threads)
+        keys = pack.ov_pos.astype(np.int64) * 256 + pack.ov_vid
+        assert np.all(np.diff(keys) >= 0)
+        pack.close()
+        pr.close()
+
+    def test_native_cap_thread_invariant(self, tmp_path):
+        r_sub, tile_w = 8, 128
+        pr, names, lens = self._parsed(tmp_path, seed=12)
+        name = names[0]
+        ref = None
+        for n_threads in (1, 2, 4):
+            pack = pr.lanes(name, r_sub, tile_w, n_threads=n_threads,
+                            cap=True)
+            cur = (pack.vb.copy(), pack.block_tile.copy(),
+                   pack.ov_pos.copy(), pack.ov_vid.copy())
+            pack.close()
+            if ref is None:
+                ref = cur
+            else:
+                for a, b in zip(cur, ref):
+                    np.testing.assert_array_equal(a, b)
+        pr.close()
+
+    def test_polisher_cap_end_to_end(self, tmp_path):
+        from polypolish_tpu.models.polisher import LanesPolisher
+
+        pr, names, lens = self._parsed(tmp_path, seed=31)
+        name = names[0]
+        P = lens[name]
+        counts_ref = pr.fold(name)[0]
+        m = LanesPolisher(P, r_sub=8, tile_w=256, body="packed4")
+        pack = pr.lanes(name, 8, 256, packed4=True, cap=True)
+        got = np.asarray(m.vote_counts(
+            pack.vb, pack.block_tile, pack.ov_pos, pack.ov_vid
+        ))[:, :P]
+        np.testing.assert_array_equal(got, counts_ref)
+        pack.close()
+        pr.close()
