@@ -82,6 +82,13 @@ class ParsedRuns:
         self.file_events: List[int] = [
             int(v.file_events[i]) for i in range(int(v.n_files))
         ]
+        # default for fold(parallel=...): batch mode sets this False so
+        # N concurrent genomes don't oversubscribe the cores with
+        # per-genome fold threads (the 2-thread fold costs ~20% MORE
+        # total CPU than the serial one — each thread re-scans all runs
+        # for clipping — which is the wrong trade when every core is
+        # already saturated by other genomes)
+        self.fold_parallel = True
 
     # -- lifecycle ----------------------------------------------------
     def close(self) -> None:
@@ -103,7 +110,7 @@ class ParsedRuns:
 
     # -- per-contig consumers ------------------------------------------
     def fold(self, contig_name: str, want_counts: bool = True,
-             parallel: bool = True, thresholds=None):
+             parallel: Optional[bool] = None, thresholds=None):
         """Returns (counts (8,P) int32 or None, depth (P,) f64, sparse)
         where sparse = (pos i64, vid i32, cnt i32) sorted ascending —
         drop-in for ops.vote.count_votes on the host backend.
@@ -114,6 +121,8 @@ class ParsedRuns:
         (bit-identical to ops.consensus.compute_thresholds)."""
         from polypolish_tpu.native import binding
 
+        if parallel is None:
+            parallel = self.fold_parallel
         cid = self.contig_names.index(contig_name)
         P = self.contig_lens[contig_name]
         depth = _pooled_buffer("depth", (P,), np.float64)

@@ -2669,8 +2669,37 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
     // depth (stream-order, position-clipped — exact), thresholds, then
     // counts.  Position-disjoint clipping partitions both folds with
     // no atomics; sparse maps merge low-range-first so the triples
-    // stay ascending.
-    const int64_t mid = P / 2;
+    // stay ascending.  The split point balances EVENT mass, not
+    // positions: repeat-heavy workloads (config 3) concentrate events
+    // in a few loci and a P/2 split leaves one thread with most of
+    // the work (round-4: measured 1.54x -> ~1.9x two-thread scaling).
+    int64_t mid = P / 2;
+    {
+      rr->prepare_sorted();
+      int64_t lo = 0, hi = 0;
+      if (contig >= 0 && (size_t)contig < rr->contig_slices.size()) {
+        lo = rr->contig_slices[(size_t)contig].first;
+        hi = rr->contig_slices[(size_t)contig].second;
+      }
+      if (hi > lo) {
+        // total event mass and the run whose cumulative mass crosses
+        // half of it; split at that run's start (runs are start-sorted
+        // so both halves see contiguous position ranges)
+        int64_t total = 0;
+        for (int64_t i = lo; i < hi; ++i)
+          total += rr->sruns[(size_t)i].len;
+        int64_t acc = 0;
+        for (int64_t i = lo; i < hi; ++i) {
+          acc += rr->sruns[(size_t)i].len;
+          if (acc * 2 >= total) {
+            mid = std::min<int64_t>(
+                std::max<int64_t>((int64_t)rr->sruns[(size_t)i].start, 1),
+                P - 1);
+            break;
+          }
+        }
+      }
+    }
     std::unordered_map<int64_t, int32_t> sp_a, sp_b;
     auto half = [&](int64_t lo, int64_t hi,
                     std::unordered_map<int64_t, int32_t>& sp) {

@@ -99,6 +99,12 @@ def polish_batch(
         except OSError:
             return False
 
+    # With several genomes in flight the cores are already saturated,
+    # so per-genome parse/fold threads only add contention and burn
+    # extra total CPU (the range-split passes duplicate the run scans);
+    # single-thread each genome when the pool provides the parallelism.
+    per_genome_threads = 1 if (workers or 2) > 1 and len(jobs) > 1 else None
+
     def run_one(job):
         assembly, out_path, sams = job
         if resume and _is_done(job):
@@ -109,6 +115,7 @@ def polish_batch(
                     None, fraction_invalid, fraction_valid, max_errors,
                     min_depth, careful, assembly, sams,
                     out=out, backend=backend, use_native=use_native,
+                    n_threads=per_genome_threads,
                 )
             return {"assembly": assembly, "out": out_path, "lengths": lengths}
         except PolypolishError as e:

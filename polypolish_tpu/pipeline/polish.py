@@ -233,6 +233,8 @@ def _load_alignments_runs(
         [str(s) for s in sam], contig_names, contig_lens, vocab,
         max_errors, careful, n_threads,
     )
+    if n_threads == 1:  # batch mode: no per-genome fold threads
+        pr.fold_parallel = False
     stats_list = [(a, u, r) for (a, u, r) in pr.file_stats]
     _report_alignment_stats(sam, stats_list, careful)
     return pr
