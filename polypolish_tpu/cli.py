@@ -15,6 +15,7 @@ native SAM packer.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -207,27 +208,37 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _resolve_backend(requested: str) -> str:
-    """auto = 'pallas' only when a TPU is attached over an
-    interconnect-grade link (utils/transport.py); a tunnel-attached chip
-    would make the device path transfer-bound by orders of magnitude, so
-    it falls back to the host engine with a note."""
+def _resolve_backend(requested: str, sam_paths=None) -> str:
+    """auto = predicted fastest backend for THIS workload: the cost
+    model in utils/transport.py compares the measured link (bandwidth +
+    per-dispatch latency) against the host engine on the known SAM byte
+    count, instead of the round-3 single bandwidth threshold (which sat
+    inside the tunnel's measured band).  Falls back to the host engine
+    with a note whenever the device path is predicted slower."""
     if requested != "auto":
         return requested
     try:
-        from polypolish_tpu.utils.transport import transport_grade
+        from polypolish_tpu.utils.transport import predict_backend
 
-        grade = transport_grade()
-        if grade == "fast":
-            return "pallas"
-        if grade == "slow":
+        sam_bytes = 0
+        for p in (sam_paths or []):
+            try:
+                sam_bytes += os.path.getsize(p)
+            except OSError:
+                pass
+        if sam_bytes <= 0:
+            sam_bytes = 500 << 20  # unknown workload: config-2 scale
+        choice, details = predict_backend(sam_bytes)
+        if choice == "host" and "predicted_device_s" in details:
             print(
-                "note: TPU detected but the host<->device link measures "
-                "tunnel-grade (<1 GB/s); using the host backend "
-                "(--backend pallas to force the device path)",
+                "note: TPU attached but the device path is predicted "
+                f"slower on this link for this workload "
+                f"(device ~{details['predicted_device_s']}s vs host "
+                f"~{details['predicted_host_s']}s); using the host "
+                "backend (--backend pallas to force the device path)",
                 file=sys.stderr,
             )
-        return "host"
+        return choice
     except Exception:
         return "host"
 
@@ -320,7 +331,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     args.debug, args.fraction_invalid, args.fraction_valid,
                     args.max_errors, args.min_depth, args.careful,
                     args.assembly, args.sam,
-                    backend=_resolve_backend(args.backend),
+                    backend=_resolve_backend(args.backend, args.sam),
                     use_native=not args.pure_python,
                     n_threads=args.threads,
                 )
@@ -341,7 +352,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 max_errors=args.max_errors,
                 min_depth=args.min_depth,
                 careful=args.careful,
-                backend=_resolve_backend(args.backend),
+                backend=_resolve_backend(
+                    args.backend, jobs[0][2] if jobs else None
+                ),
                 use_native=not args.pure_python,
                 workers=args.workers,
                 resume=args.resume,
@@ -360,7 +373,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 fraction_valid=args.fraction_valid,
                 max_errors=args.max_errors, min_depth=args.min_depth,
                 careful=args.careful,
-                backend=_resolve_backend(args.backend),
+                backend=_resolve_backend(args.backend,
+                                         [args.in1, args.in2]),
                 use_native=not args.pure_python,
                 n_threads=args.threads,
                 keep_filtered=args.keep_filtered,

@@ -1,32 +1,61 @@
-"""Host<->device transport sniffing for backend auto-selection.
+"""Host<->device transport measurement + backend cost model.
 
-The device path (``--backend pallas``) ships ~2 bytes per vote event to
-the chip; whether that is free or fatal depends entirely on the
+The device path (``--backend pallas``) ships ~1-2 bytes per vote event
+to the chip; whether that is free or fatal depends entirely on the
 host<->device link.  A locally attached TPU (PCIe, >= 8 GB/s) moves a
-config-2 workload's chunks in tens of milliseconds; a remotely tunnelled
-chip (~100 MB/s HTTP transport) needs several seconds — longer than the
-ENTIRE host-backend pipeline (BENCH_NOTES.md).  ``--backend auto``
-therefore measures the link once and only picks the device path when the
-transport is interconnect-grade.
+config-2 workload's lane packs in tens of milliseconds; a remotely
+tunnelled chip (~0.1-1.5 GB/s + 25-500 ms per-dispatch latency) needs
+seconds — longer than the ENTIRE host-backend pipeline (BENCH_NOTES.md).
 
-The sniff is one ~4 MB ``device_put`` round (warm-up + timed rep), ~10 ms
-on PCIe and ~100 ms on a tunnel — negligible against either pipeline.
+Round 3 used a single bandwidth threshold (1 GB/s), which sat inside
+the tunnel's measured band for large uploads (1.1-1.5 GB/s) and did the
+right thing only because the probe was latency-bound.  Round 4 replaces
+it with an explicit cost model (main.rs:112-126 dispatch analog):
+
+    host_s   = sam_bytes / HOST_ENGINE_BYTES_PER_S
+    device_s = sam_bytes / PARSE_BYTES_PER_S        (host parse+pack)
+             + sam_bytes * UPLOAD_FRACTION / bw     (lane slab uploads)
+             + N_DISPATCH * latency                 (round trips)
+
+and ``--backend auto`` picks the device path iff device_s < host_s.
+The SAM byte count is known before the backend choice; bandwidth and
+latency are measured once per process (two device_put probes).  The
+host/parse rates are calibration constants from the bench suite
+(overridable via POLYPOLISH_TPU_HOST_RATE), chosen conservative for the
+device side so auto never regresses a working host setup.
 """
 
 from __future__ import annotations
 
 import os
 import time
-from typing import Optional
+from typing import Optional, Tuple
 
-# Below this measured host->device bandwidth the link is considered
-# tunnel-grade and the device backend would be transfer-bound.  PCIe 3.0
-# x8 measures >= 6 GB/s; the axon HTTP tunnel measures ~0.1 GB/s.
+# Calibration constants (see BENCH_NOTES.md measurements):
+# - host engine sustains ~600-1200 MB of SAM per second end-to-end on
+#   the 2-vCPU reference host (config 2: 760 MB best 0.65-1.3 s);
+# - the device path's host half (parse + lane pack, no fold) runs
+#   ~2x the full host engine;
+# - lane uploads move ~0.7 B per SAM byte (slots = pad x events,
+#   cap layout ~1.35x, events ~0.5 x SAM bytes);
+# - a polish run issues ~8 blocking dispatch round trips (slab
+#   uploads overlap, but compile-cache checks, thresholds and the
+#   decision fetch each pay the link latency).
+HOST_ENGINE_BYTES_PER_S = 600e6
+PARSE_BYTES_PER_S = 2 * HOST_ENGINE_BYTES_PER_S
+UPLOAD_FRACTION = 0.7
+N_DISPATCH = 8
+KERNEL_EPS_S = 0.05  # vote+consensus compute at chip speed
+
+# Back-compat single threshold for transport_grade() (callers that only
+# want a coarse link class); the cost model below is what auto uses.
 FAST_TRANSPORT_BYTES_PER_S = 1e9
 
 _SNIFF_BYTES = 4 << 20
+_LAT_BYTES = 4 << 10
 
 _cached_grade: Optional[str] = None
+_cached_link: Optional[Tuple[float, float]] = None
 
 
 def measure_device_bandwidth(size_bytes: int = _SNIFF_BYTES,
@@ -46,11 +75,85 @@ def measure_device_bandwidth(size_bytes: int = _SNIFF_BYTES,
     return size_bytes / max(best, 1e-9)
 
 
+def measure_link(refresh: bool = False) -> Tuple[float, float]:
+    """(bandwidth bytes/s, latency s), measured once per process.
+
+    Latency = best wall time of a tiny (4 KB) device_put round trip;
+    bandwidth = bytes / (large-probe time - latency).
+    """
+    global _cached_link
+    if _cached_link is not None and not refresh:
+        return _cached_link
+    import jax
+    import numpy as np
+
+    device = jax.devices()[0]
+    lat = float("inf")
+    tiny = np.zeros(_LAT_BYTES, dtype=np.uint8)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_put(tiny, device).block_until_ready()
+        lat = min(lat, time.perf_counter() - t0)
+    big = np.zeros(_SNIFF_BYTES, dtype=np.uint8)
+    t_big = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.device_put(big, device).block_until_ready()
+        t_big = min(t_big, time.perf_counter() - t0)
+    bw = _SNIFF_BYTES / max(t_big - lat, 1e-9)
+    _cached_link = (bw, lat)
+    return _cached_link
+
+
+def predict_backend(sam_bytes: int, refresh: bool = False):
+    """('host' | 'pallas', details dict) from the cost model.
+
+    Honors POLYPOLISH_TPU_TRANSPORT=fast|slow (operators who know their
+    topology; also the test hook): fast models a PCIe link, slow a
+    tunnel.  Returns 'host' with reason when no accelerator is attached
+    or measurement fails.
+    """
+    host_rate = HOST_ENGINE_BYTES_PER_S
+    try:
+        host_rate = float(os.environ.get("POLYPOLISH_TPU_HOST_RATE",
+                                         host_rate))
+    except ValueError:
+        pass
+    override = os.environ.get("POLYPOLISH_TPU_TRANSPORT")
+    if override == "fast":
+        bw, lat = 8e9, 5e-5
+    elif override == "slow":
+        bw, lat = 1.2e9, 0.25
+    else:
+        try:
+            import jax
+
+            if jax.devices()[0].platform not in ("tpu", "axon"):
+                return "host", {"reason": "no accelerator"}
+            bw, lat = measure_link(refresh=refresh)
+        except Exception as e:
+            return "host", {"reason": f"link probe failed: {e!r}"}
+    host_s = sam_bytes / host_rate
+    device_s = (sam_bytes / (2 * host_rate)
+                + sam_bytes * UPLOAD_FRACTION / bw
+                + N_DISPATCH * lat
+                + KERNEL_EPS_S)
+    details = {
+        "sam_bytes": int(sam_bytes),
+        "bandwidth_bytes_per_s": bw,
+        "latency_s": lat,
+        "predicted_host_s": round(host_s, 3),
+        "predicted_device_s": round(device_s, 3),
+    }
+    return ("pallas" if device_s < host_s else "host"), details
+
+
 def transport_grade(refresh: bool = False) -> str:
     """'fast' | 'slow' | 'none' (no accelerator), cached per process.
 
-    Override with POLYPOLISH_TPU_TRANSPORT=fast|slow (used by tests and
-    by operators who know their topology).
+    Coarse link class kept for callers that don't know their workload
+    size; ``--backend auto`` uses predict_backend instead.  Override
+    with POLYPOLISH_TPU_TRANSPORT=fast|slow.
     """
     global _cached_grade
     override = os.environ.get("POLYPOLISH_TPU_TRANSPORT")

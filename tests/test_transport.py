@@ -16,6 +16,7 @@ from polypolish_tpu.utils import transport
 @pytest.fixture(autouse=True)
 def _reset_cache(monkeypatch):
     monkeypatch.setattr(transport, "_cached_grade", None)
+    monkeypatch.setattr(transport, "_cached_link", None)
     monkeypatch.delenv("POLYPOLISH_TPU_TRANSPORT", raising=False)
 
 
@@ -41,42 +42,71 @@ class _FakeDev:
     platform = "tpu"
 
 
-def test_slow_link_resolves_host(monkeypatch, capsys):
-    monkeypatch.setattr(
-        transport, "measure_device_bandwidth", lambda device=None: 100e6
-    )
-
+def _fake_link(monkeypatch, bw, lat):
     class _FakeJax:
         @staticmethod
         def devices():
             return [_FakeDev()]
 
-    monkeypatch.setattr(transport, "jax", _FakeJax, raising=False)
     import sys
 
     monkeypatch.setitem(sys.modules, "jax", _FakeJax)
+    monkeypatch.setattr(transport, "measure_link",
+                       lambda refresh=False: (bw, lat))
+    monkeypatch.setattr(
+        transport, "measure_device_bandwidth", lambda device=None: bw
+    )
+
+
+def test_slow_link_resolves_host(monkeypatch, capsys):
+    _fake_link(monkeypatch, 100e6, 0.25)
     assert transport.transport_grade(refresh=True) == "slow"
     assert _resolve_backend("auto") == "host"
 
 
 def test_fast_link_resolves_pallas(monkeypatch):
-    monkeypatch.setattr(
-        transport, "measure_device_bandwidth", lambda device=None: 12e9
-    )
-
-    class _FakeJax:
-        @staticmethod
-        def devices():
-            return [_FakeDev()]
-
-    import sys
-
-    monkeypatch.setitem(sys.modules, "jax", _FakeJax)
+    _fake_link(monkeypatch, 12e9, 5e-5)
     assert transport.transport_grade(refresh=True) == "fast"
     assert _resolve_backend("auto") == "pallas"
+
+
+def test_cost_model_tunnel_band_still_host(monkeypatch):
+    """The round-3 regression this replaces: the tunnel sustains
+    1.1-1.5 GB/s on large uploads — ABOVE the old 1 GB/s threshold —
+    but its per-dispatch latency makes the device path slower on the
+    config-2 workload.  The cost model must still pick host."""
+    _fake_link(monkeypatch, 1.3e9, 0.15)
+    choice, details = transport.predict_backend(760 << 20)
+    assert choice == "host"
+    assert details["predicted_device_s"] > details["predicted_host_s"]
+
+
+def test_cost_model_pcie_picks_pallas(monkeypatch):
+    _fake_link(monkeypatch, 8e9, 5e-5)
+    choice, details = transport.predict_backend(760 << 20)
+    assert choice == "pallas"
+    assert details["predicted_device_s"] < details["predicted_host_s"]
+
+
+def test_cost_model_boundary(monkeypatch):
+    """Either side of the predicted-equality boundary flips the
+    choice: with zero latency, device wins iff
+    sam/2h + 0.7*sam/bw + eps < sam/h, i.e. bw > 1.4*h (h = host
+    rate) up to the eps term."""
+    sam = 1 << 30
+    h = transport.HOST_ENGINE_BYTES_PER_S
+    _fake_link(monkeypatch, 1.2 * h, 0.0)
+    assert transport.predict_backend(sam)[0] == "host"
+    _fake_link(monkeypatch, 4.0 * h, 0.0)
+    assert transport.predict_backend(sam)[0] == "pallas"
 
 
 def test_measure_bandwidth_runs_on_cpu():
     # sanity: the probe itself executes and returns a positive number
     bw = transport.measure_device_bandwidth(size_bytes=1 << 16)
     assert bw > 0
+
+
+def test_measure_link_runs_on_cpu():
+    bw, lat = transport.measure_link(refresh=True)
+    assert bw > 0 and lat >= 0
