@@ -337,6 +337,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,                     # n_threads
             ctypes.c_int32,                     # layout (0 rows, 1 packed4)
             ctypes.c_int32,                     # cap (depth-stratified rows)
+            ctypes.c_int64,                     # w_lo (window origin)
         ]
         lib.pp_free_lanes.argtypes = [ctypes.POINTER(_PPLanesView)]
         lib.pp_free_lanes.restype = None

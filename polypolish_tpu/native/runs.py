@@ -163,17 +163,20 @@ class ParsedRuns:
         return counts, depth, sparse
 
     def fold_window(self, contig_name: str, w_lo: int, w_hi: int,
-                    thresholds, parallel: bool = True):
-        """Window-sized fold for huge contigs: counts (8, W), depth (W)
-        f64 and thresholds for positions [w_lo, w_hi) only — peak
-        working set O(W) instead of O(P) (pp_fold_window; the sparse
-        tier comes from .sparse() once, outside the window loop).
-        Buffers are pooled per window shape."""
+                    thresholds, parallel: bool = True,
+                    want_counts: bool = True):
+        """Window-sized fold for huge contigs: counts (8, W) (or None
+        with want_counts=False — the device-windowed path votes on
+        chip), depth (W) f64 and thresholds for positions [w_lo, w_hi)
+        only — peak working set O(W) instead of O(P) (pp_fold_window;
+        the sparse tier comes from .sparse() once, outside the window
+        loop).  Buffers are pooled per window shape."""
         from polypolish_tpu.native import binding
 
         cid = self.contig_names.index(contig_name)
         W = w_hi - w_lo
-        counts = _pooled_buffer(("w_counts", W), (DENSE_V, W), np.int32)
+        counts = _pooled_buffer(("w_counts", W), (DENSE_V, W), np.int32) \
+            if want_counts else None
         depth = _pooled_buffer(("w_depth", W), (W,), np.float64)
         valid = _pooled_buffer(("w_valid", W), (W,), np.int32)
         invalid = _pooled_buffer(("w_invalid", W), (W,), np.int32)
@@ -181,7 +184,8 @@ class ParsedRuns:
         min_depth, f_valid, f_invalid = thresholds
         self._lib.pp_fold_window(
             self._view, cid, w_lo, w_hi,
-            counts.ctypes.data_as(ctypes.c_void_p),
+            counts.ctypes.data_as(ctypes.c_void_p)
+            if counts is not None else None,
             depth.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             1 if parallel else 0,
             int(min_depth), float(f_valid), float(f_invalid),
@@ -255,7 +259,8 @@ class ParsedRuns:
               n_threads: Optional[int] = None,
               num_positions: Optional[int] = None,
               packed4: bool = False,
-              cap: bool = False):
+              cap: bool = False,
+              w_lo: int = 0):
         """Lane-aligned pack for the VPU vote kernel (ops/vote_lanes.py):
         returns a LanesPack exposing zero-copy (vb (n_blocks*r_sub,
         tile_w) uint8, block_tile int32 (n_blocks,), n_tiles) — one
@@ -276,7 +281,7 @@ class ParsedRuns:
             n_threads = binding.default_threads()
         lv = self._lib.pp_lanes_from_runs(
             self._view, cid, P, r_sub, tile_w, n_threads,
-            1 if packed4 else 0, 1 if cap else 0,
+            1 if packed4 else 0, 1 if cap else 0, int(w_lo),
         )
         c = lv.contents
         if int(c.n_tiles) == 0 or not c.vb:

@@ -2850,6 +2850,10 @@ void pp_fold_window(PPRunsView* runs, int32_t contig, int64_t w_lo,
                             invalid_out + (lo - w_lo),
                             low_out + (lo - w_lo));
   };
+  if (!counts_out) {  // device-windowed path: depth+thresholds only
+    half(w_lo, w_hi);
+    return;
+  }
   if (parallel && W > (1 << 18)) {
     // thread A: depth+thresholds for the whole window; thread B: the
     // counts fold (they write disjoint buffers)
@@ -3380,18 +3384,23 @@ static int64_t pick_capped_rows(const int32_t* depth, int64_t p_lo,
 PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
                                 int32_t r_sub, int32_t tile_w,
                                 int32_t n_threads, int32_t layout,
-                                int32_t cap) {
+                                int32_t cap, int64_t w_lo) {
   // layout 0: plain (rows, tile_w) uint8; layout 1: "packed4" — four
   // byte-rows share one int32 lane (row r -> word r>>2, byte r&3), the
   // zero-relayout input of the packed4 kernel body.  Pad bytes are
   // 0xFF either way (position-independent), so only the scatter's
-  // byte address changes.
+  // byte address changes.  w_lo: window origin — the pack covers
+  // GLOBAL positions [w_lo, w_lo + P) with window-LOCAL columns
+  // (p - w_lo), so huge contigs stream through fixed-shape windows
+  // (round-4: the device-path analog of pp_fold_window; overflow
+  // positions are window-local too).
   auto* rr = static_cast<RunsResult*>(runs->handle);
   auto* buf = new LanesBuffers();
   auto* view = new PPLanesView();
   memset(view, 0, sizeof(*view));
   view->handle = buf;
-  if (r_sub <= 0 || tile_w <= 0 || tile_w % 128 != 0 || P < 0) return view;
+  if (r_sub <= 0 || tile_w <= 0 || tile_w % 128 != 0 || P < 0 || w_lo < 0)
+    return view;
   if (layout == 1 && r_sub % 4 != 0) return view;
 
   rr->prepare_sorted();
@@ -3400,14 +3409,26 @@ PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
     lo = rr->contig_slices[(size_t)contig].first;
     hi = rr->contig_slices[(size_t)contig].second;
   }
+  if (w_lo > 0) {  // first sorted run that can reach the window
+    int64_t min_start = w_lo - (int64_t)rr->max_run_len;
+    lo = std::lower_bound(rr->sruns.begin() + lo, rr->sruns.begin() + hi,
+                          min_start,
+                          [](const RunsResult::SortedRun& a, int64_t v) {
+                            return (int64_t)a.start < v;
+                          }) -
+         rr->sruns.begin();
+  }
   const int64_t n_tiles = P > 0 ? (P + tile_w - 1) / tile_w : 1;
 
-  // pass 1: depth per position via run-extent difference array
+  // pass 1: depth per (window-local) position via run-extent
+  // difference array
   std::vector<int32_t> diff((size_t)P + 1, 0);
   int64_t n_events = 0;
   for (int64_t i = lo; i < hi; ++i) {
     const RunsResult::SortedRun& sr = rr->sruns[(size_t)i];
-    int64_t s = sr.start, e = (int64_t)sr.start + sr.len;
+    if ((int64_t)sr.start - w_lo >= P) break;  // sorted: nothing later
+    int64_t s = (int64_t)sr.start - w_lo;
+    int64_t e = s + sr.len;
     if (s < 0) s = 0;
     if (e > P) e = P;
     if (e <= s) continue;
@@ -3528,26 +3549,27 @@ PPLanesView* pp_lanes_from_runs(PPRunsView* runs, int32_t contig, int64_t P,
     // per-position write cursors for this range only
     std::vector<int32_t> cur((size_t)(p_hi - p_lo), 0);
     std::vector<uint64_t>& ov = ov_keys[(size_t)th];
-    // first sorted run that can reach p_lo
+    // first sorted run that can reach p_lo (global coords)
     int64_t i0 = lo;
     if (max_len > 0) {
-      int32_t min_start =
-          (int32_t)std::max<int64_t>(0, p_lo - (int64_t)max_len);
+      int64_t min_start =
+          std::max<int64_t>(0, w_lo + p_lo - (int64_t)max_len);
       i0 = std::lower_bound(
                rr->sruns.begin() + lo, rr->sruns.begin() + hi, min_start,
-               [](const RunsResult::SortedRun& a, int32_t v) {
-                 return a.start < v;
+               [](const RunsResult::SortedRun& a, int64_t v) {
+                 return (int64_t)a.start < v;
                }) -
            rr->sruns.begin();
     }
     const uint8_t* all_vb = rr->vbytes.data();
     for (int64_t i = i0; i < hi; ++i) {
       const RunsResult::SortedRun& sr = rr->sruns[(size_t)i];
-      if ((int64_t)sr.start >= p_hi) break;
-      int64_t s = std::max<int64_t>(sr.start, p_lo);
-      int64_t e = std::min<int64_t>((int64_t)sr.start + sr.len, p_hi);
+      const int64_t sl = (int64_t)sr.start - w_lo;  // window-local start
+      if (sl >= p_hi) break;
+      int64_t s = std::max<int64_t>(sl, p_lo);
+      int64_t e = std::min<int64_t>(sl + sr.len, p_hi);
       if (e <= s) continue;
-      const uint8_t* src = all_vb + sr.evt_off + (s - sr.start);
+      const uint8_t* src = all_vb + sr.evt_off + (s - sl);
       int64_t p = s;
       while (p < e) {
         const int64_t t = p / tile_w;

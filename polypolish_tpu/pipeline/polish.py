@@ -427,6 +427,22 @@ def polish_one_sequence(
             out, min_depth, fraction_valid, fraction_invalid, use_native,
         )
 
+    if (runs_handle is not None and backend == "pallas"
+            and kernel_variant() == "lanes"
+            and debug_file is None and seq_len >= _window_min()
+            and runs_handle.base_vocab_len <= DENSE_V):
+        # device twin of the streaming path (round-4): per-window lanes
+        # packs (pp_lanes_from_runs w_lo) + thresholds from
+        # pp_fold_window, all through ONE compiled window shape; host
+        # memory stays O(window) and window k+1's pack/upload overlaps
+        # window k's compute via jax async dispatch
+        result = _polish_device_runs_windowed(
+            runs_handle, name, description, contig.seq, orig_id, vocab,
+            out, min_depth, fraction_valid, fraction_invalid, use_native,
+        )
+        if result is not None:
+            return result
+
     if runs_handle is not None and backend == "host":
         from polypolish_tpu.native import binding
 
@@ -607,6 +623,126 @@ def _polish_host_runs_windowed(
             for v in depth_w:
                 total_depth += float(v)
         zero_depth_count += int(np.count_nonzero(depth_w == 0.0))
+
+    cp = (np.concatenate(changed_pos) if changed_pos
+          else np.empty(0, np.int64))
+    cv = (np.concatenate(changed_vid) if changed_vid
+          else np.empty(0, np.int32))
+    polished_seq = _apply_edits_sparse(seq, cp, cv, vocab)
+    write_fasta_record(out, name, description, polished_seq)
+    print_polishing_info(
+        seq_len, total_depth, zero_depth_count, changed_count
+    )
+    return len(polished_seq)
+
+
+def _polish_device_runs_windowed(
+    runs_handle, name, description, seq, orig_id, vocab, out,
+    min_depth, fraction_valid, fraction_invalid, use_native,
+):
+    """Streaming DEVICE path for huge contigs (polish.rs:170-187 at
+    100 Mb scale, round-4): thresholds/depth from pp_fold_window
+    (O(window) host buffers, no host counts fold), votes from the lanes
+    kernel on per-window native packs (pp_lanes_from_runs with a window
+    origin), decisions fetched as uint8.  Every window shares one
+    compiled shape; the next window's pack + upload is issued before
+    the previous window's results are fetched, so transfers overlap
+    compute.  Returns the new length, or None to fall back (native
+    pack unavailable)."""
+    import jax.numpy as jnp
+
+    from polypolish_tpu.models.polisher import LanesPolisher
+    from polypolish_tpu.native import binding
+
+    seq_len = len(seq)
+    sp_pos, sp_vid, sp_cnt = runs_handle.sparse(name)
+    thresholds = (min_depth, fraction_valid, fraction_invalid)
+
+    from polypolish_tpu.ops.vote_lanes import TILE_W
+
+    key = ("lanes_windowed",)
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        w_pad = -(-_window_size() // TILE_W) * TILE_W
+        model = LanesPolisher(w_pad)
+        _MODEL_CACHE[key] = model
+    w_pad = model.num_positions
+    i32max = np.int32(2**31 - 1)
+
+    def pad_w(arr, fill, dtype):
+        out_a = np.full(w_pad, fill, dtype=dtype)
+        out_a[: arr.shape[0]] = arr
+        return jnp.asarray(out_a)
+
+    changed_pos: List[np.ndarray] = []
+    changed_vid: List[np.ndarray] = []
+    total_depth = 0.0
+    zero_depth_count = 0
+    changed_count = 0
+
+    pending = None  # (w_lo, w_hi, pack, counts_j, adopted_u8,
+    #                 status_u8, depth_w copy, thr copies)
+
+    def finish_window(p):
+        nonlocal total_depth, zero_depth_count, changed_count
+        (w_lo, w_hi, pack, counts_j, adopted_u8, status_u8,
+         depth_w, valid_w, invalid_w) = p
+        w_real = w_hi - w_lo
+        status = np.array(status_u8)[:w_real].astype(np.int32)
+        adopted = np.array(adopted_u8)[:w_real].astype(np.int32)
+        orig_w = orig_id[w_lo:w_hi]
+        new_id_w = np.where(status == ST_CHANGED, adopted, orig_w)
+        new_id_w = new_id_w.astype(np.int32)
+        i0, i1 = np.searchsorted(sp_pos, [w_lo, w_hi])
+        if i1 > i0:
+            consensus_sparse_override(
+                counts_j[:, :w_real], sp_pos[i0:i1] - w_lo,
+                sp_vid[i0:i1], sp_cnt[i0:i1], valid_w, invalid_w,
+                depth_w, min_depth, orig_w, new_id_w, status,
+            )
+        ch = np.nonzero(status == ST_CHANGED)[0]
+        if ch.size:
+            changed_pos.append((ch + w_lo).astype(np.int64))
+            changed_vid.append(new_id_w[ch].copy())
+            changed_count += int(ch.size)
+        if use_native:
+            total_depth = binding.sum_f64_seq_init(depth_w, total_depth)
+        else:
+            for v in depth_w:
+                total_depth += float(v)
+        zero_depth_count += int(np.count_nonzero(depth_w == 0.0))
+        # outputs are materialised -> uploads finished; safe to release
+        # the native pack buffer (device_put may alias host memory on
+        # the CPU backend, so the pack must outlive the fetch)
+        pack.close()
+
+    for w_lo in range(0, seq_len, w_pad):
+        w_hi = min(seq_len, w_lo + w_pad)
+        _c, depth_w, thr_w = runs_handle.fold_window(
+            name, w_lo, w_hi, thresholds, want_counts=False
+        )
+        valid_w, invalid_w, low_w = thr_w
+        pack = runs_handle.lanes(
+            name, model.r_sub, model.tile_w, num_positions=w_pad,
+            packed4=(model.body == "packed4"), cap=True, w_lo=w_lo,
+        )
+        if pack is None:
+            return None  # fall back to the non-windowed paths
+        counts_j, adopted_u8, status_u8 = model.forward_pack(
+            pack.vb, pack.block_tile,
+            pad_w(valid_w, i32max, np.int32),
+            pad_w(invalid_w, i32max, np.int32),
+            pad_w(low_w, True, bool),
+            pad_w(orig_id[w_lo:w_hi], 0, np.int32),
+            ov_pos=pack.ov_pos, ov_vid=pack.ov_vid,
+        )
+        cur = (w_lo, w_hi, pack, counts_j, adopted_u8, status_u8,
+               depth_w.copy(), valid_w.copy(), invalid_w.copy())
+        if pending is not None:
+            finish_window(pending)  # fetch k-1 while k computes
+        pending = cur
+    if pending is not None:
+        finish_window(pending)
 
     cp = (np.concatenate(changed_pos) if changed_pos
           else np.empty(0, np.int64))
