@@ -119,3 +119,44 @@ def test_sharded_lanes_matches_host(mesh_shape):
     np.testing.assert_array_equal(counts, counts_ref)
     np.testing.assert_array_equal(new_id, new_id_ref)
     np.testing.assert_array_equal(status, status_ref)
+
+
+def test_numpy_mesh_packer_uint8_branch():
+    """The vectorised numpy mesh packer's plain-uint8 layout (body !=
+    packed4) must drive the lanes step to the same counts as the host
+    fold (the packed4 branch is covered by the e2e lanes tests)."""
+    import jax.numpy as jnp
+
+    from polypolish_tpu.parallel import make_mesh
+    from polypolish_tpu.parallel.shard import (
+        bucket_lanes_for_mesh,
+        make_sharded_polish_step_lanes,
+    )
+
+    rng = np.random.default_rng(5)
+    P = 3000
+    pos = rng.integers(0, P, 40_000).astype(np.int64)
+    vocab = rng.integers(0, DENSE_V, 40_000).astype(np.int32)
+    counts_ref = dense_counts_host(pos, vocab, P)
+
+    n_data, n_pos = 2, 4
+    r_sub, tile_w = 8, 128
+    vb, bt, p_shard, n_tiles = bucket_lanes_for_mesh(
+        pos, vocab, P, n_data, n_pos, r_sub=r_sub, tile_w=tile_w,
+        body="packed",
+    )
+    assert vb.dtype == np.uint8
+    mesh = make_mesh(n_data, n_pos)
+    p_total = p_shard * n_pos
+    i32max = np.int32(2**31 - 1)
+    step = make_sharded_polish_step_lanes(
+        mesh, p_shard, n_tiles, r_sub=r_sub, tile_w=tile_w, body="packed",
+    )
+    counts, _n, _s = step(
+        jnp.asarray(vb.view(np.int8)), jnp.asarray(bt),
+        jnp.asarray(np.full(p_total, i32max, np.int32)),
+        jnp.asarray(np.full(p_total, i32max, np.int32)),
+        jnp.asarray(np.ones(p_total, bool)),
+        jnp.asarray(np.zeros(p_total, np.int32)),
+    )
+    np.testing.assert_array_equal(np.array(counts)[:, :P], counts_ref)
