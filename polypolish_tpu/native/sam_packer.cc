@@ -1143,21 +1143,40 @@ struct RunsResult {
       // passes instead of std::sort's n log n compares — the sort was
       // ~30% of the first fold at the 4-7 M-run bench scales.  Stable,
       // so equal keys keep stream order (bit-identical downstream).
+      // Each pass runs on two threads (round 4: the background sort
+      // still landed inside the first fold's wall time at 13 M runs):
+      // per-segment histograms -> digit-major/segment-minor offsets ->
+      // per-segment scatters; segment 0's equal keys land before
+      // segment 1's, so stability is preserved exactly.
       {
         std::vector<std::pair<int64_t, int32_t>> tmp(n);
+        const size_t half = n / 2;
         auto pass = [&](int shift) {
-          std::array<uint32_t, 65536> cnt{};
-          for (size_t r = 0; r < n; ++r)
-            ++cnt[(size_t)((uint64_t)keyed[r].first >> shift) & 0xFFFF];
+          auto histo = [&](size_t r0, size_t r1,
+                           std::array<uint32_t, 65536>& cnt) {
+            for (size_t r = r0; r < r1; ++r)
+              ++cnt[(size_t)((uint64_t)keyed[r].first >> shift) & 0xFFFF];
+          };
+          std::array<uint32_t, 65536> c0{}, c1{};
+          std::thread th(histo, half, n, std::ref(c1));
+          histo(0, half, c0);
+          th.join();
           uint32_t acc = 0;
-          for (auto& c : cnt) {
-            uint32_t v = c;
-            c = acc;
-            acc += v;
+          for (size_t d = 0; d < 65536; ++d) {
+            uint32_t v0 = c0[d], v1 = c1[d];
+            c0[d] = acc;
+            c1[d] = acc + v0;
+            acc += v0 + v1;
           }
-          for (size_t r = 0; r < n; ++r)
-            tmp[cnt[(size_t)((uint64_t)keyed[r].first >> shift) &
-                    0xFFFF]++] = keyed[r];
+          auto scatter = [&](size_t r0, size_t r1,
+                             std::array<uint32_t, 65536>& off) {
+            for (size_t r = r0; r < r1; ++r)
+              tmp[off[(size_t)((uint64_t)keyed[r].first >> shift) &
+                     0xFFFF]++] = keyed[r];
+          };
+          std::thread th2(scatter, half, n, std::ref(c1));
+          scatter(0, half, c0);
+          th2.join();
           keyed.swap(tmp);
         };
         pass(0);
@@ -2672,7 +2691,9 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
     // stay ascending.  The split point balances EVENT mass, not
     // positions: repeat-heavy workloads (config 3) concentrate events
     // in a few loci and a P/2 split leaves one thread with most of
-    // the work (round-4: measured 1.54x -> ~1.9x two-thread scaling).
+    // the work.  (An asymmetric depth-thread/counts-thread split was
+    // measured ~25% slower — the position-clipped halves keep each
+    // thread's working window cache-resident.)
     int64_t mid = P / 2;
     {
       rr->prepare_sorted();
