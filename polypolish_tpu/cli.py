@@ -208,24 +208,38 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _resolve_backend(requested: str, sam_paths=None) -> str:
+def _resolve_backend(requested: str, sam_paths=None,
+                     mean_job_sams=None) -> str:
     """auto = predicted fastest backend for THIS workload: the cost
     model in utils/transport.py compares the measured link (bandwidth +
     per-dispatch latency) against the host engine on the known SAM byte
     count, instead of the round-3 single bandwidth threshold (which sat
     inside the tunnel's measured band).  Falls back to the host engine
-    with a note whenever the device path is predicted slower."""
+    with a note whenever the device path is predicted slower.
+
+    mean_job_sams: batch mode — a sample of per-job SAM path lists; the
+    model runs on the MEAN job size (the prediction applies per genome,
+    and the first manifest entry may be unrepresentative)."""
     if requested != "auto":
         return requested
     try:
         from polypolish_tpu.utils.transport import predict_backend
 
-        sam_bytes = 0
-        for p in (sam_paths or []):
-            try:
-                sam_bytes += os.path.getsize(p)
-            except OSError:
-                pass
+        def _size(paths):
+            total = 0
+            for p in paths or []:
+                try:
+                    total += os.path.getsize(p)
+                except OSError:
+                    pass
+            return total
+
+        if mean_job_sams:
+            sizes = [_size(job) for job in mean_job_sams]
+            sizes = [s for s in sizes if s > 0]
+            sam_bytes = int(sum(sizes) / len(sizes)) if sizes else 0
+        else:
+            sam_bytes = _size(sam_paths)
         if sam_bytes <= 0:
             sam_bytes = 500 << 20  # unknown workload: config-2 scale
         choice, details = predict_backend(sam_bytes)
@@ -353,7 +367,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 min_depth=args.min_depth,
                 careful=args.careful,
                 backend=_resolve_backend(
-                    args.backend, jobs[0][2] if jobs else None
+                    args.backend,
+                    # model the AVERAGE job (the prediction applies per
+                    # genome): sample up to 20 manifests' SAM sizes
+                    mean_job_sams=[j[2] for j in jobs[:20]],
                 ),
                 use_native=not args.pure_python,
                 workers=args.workers,

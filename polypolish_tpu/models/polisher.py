@@ -275,10 +275,9 @@ class LanesPolisher:
         """Geometric-bucket padding of the overflow arrays so repeated
         contigs share one compiled scatter shape (pad position = the
         counts width, which mode='drop' discards)."""
-        n = max(int(len(ov_pos)), 8)
-        shift = max(n.bit_length() - 1 - 3, 0)
-        step = 1 << shift
-        padded = -(-n // step) * step
+        from polypolish_tpu.ops.vote_lanes import geom_pad
+
+        padded = geom_pad(len(ov_pos))
         op = np.full(padded, self.n_tiles * self.tile_w, dtype=np.int32)
         ov = np.zeros(padded, dtype=np.uint8)
         op[:len(ov_pos)] = ov_pos

@@ -163,7 +163,7 @@ class ParsedRuns:
         return counts, depth, sparse
 
     def fold_window(self, contig_name: str, w_lo: int, w_hi: int,
-                    thresholds, parallel: bool = True,
+                    thresholds, parallel: Optional[bool] = None,
                     want_counts: bool = True):
         """Window-sized fold for huge contigs: counts (8, W) (or None
         with want_counts=False — the device-windowed path votes on
@@ -173,6 +173,8 @@ class ParsedRuns:
         loop).  Buffers are pooled per window shape."""
         from polypolish_tpu.native import binding
 
+        if parallel is None:  # batch mode suppresses per-genome threads
+            parallel = self.fold_parallel
         cid = self.contig_names.index(contig_name)
         W = w_hi - w_lo
         counts = _pooled_buffer(("w_counts", W), (DENSE_V, W), np.int32) \

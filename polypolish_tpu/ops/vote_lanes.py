@@ -207,6 +207,24 @@ _lanes_jit = jax.jit(
 )
 
 
+def geom_pad(n: int, bits: int = 3, minimum: int = 8,
+             slab: Optional[int] = None) -> int:
+    """Round ``n`` up to a geometric bucket (<= 2^-bits relative
+    padding) so jitted shapes are shared across similar sizes; with
+    ``slab`` set, sizes past one slab additionally round to a slab
+    multiple (the kernel's slab-split contract).  This is THE padding
+    formula — every Python site (block counts, overflow lists, position
+    buckets, mesh packs) calls it so the compile-cache bucketing can
+    never silently diverge; the C++ twins in sam_packer.cc mirror it."""
+    n = max(int(n), minimum)
+    shift = max(n.bit_length() - 1 - bits, 0)
+    step = 1 << shift
+    padded = -(-n // step) * step
+    if slab is not None and padded > slab:
+        padded = -(-padded // slab) * slab
+    return padded
+
+
 def _pad_block_count(vb: np.ndarray, block_tile: np.ndarray, n_tiles: int,
                      r_sub: int, tile_w: int
                      ) -> Tuple[np.ndarray, np.ndarray]:
@@ -214,12 +232,7 @@ def _pad_block_count(vb: np.ndarray, block_tile: np.ndarray, n_tiles: int,
     rounding, mirroring vote_pallas._pad_chunk_count.  Pad blocks are
     all-255 rows mapped to the last tile."""
     n_blocks = block_tile.shape[0]
-    n = max(int(n_blocks), 8)
-    shift = max(n.bit_length() - 1 - 3, 0)
-    step = 1 << shift
-    padded = -(-n // step) * step
-    if padded > MAX_BLOCKS_PER_CALL:
-        padded = -(-padded // MAX_BLOCKS_PER_CALL) * MAX_BLOCKS_PER_CALL
+    padded = geom_pad(n_blocks, slab=MAX_BLOCKS_PER_CALL)
     if padded == n_blocks:
         return vb, block_tile
     extra = padded - n_blocks

@@ -237,13 +237,8 @@ def bucket_lanes_for_mesh(
     ).sum(axis=2)                                       # (D, S)
     # common padded block count B (geometric + slab, matching
     # vote_lanes._pad_block_count semantics on the max shard)
-    n = max(int(blocks_per_shard.max()), 8)
-    shift = max(n.bit_length() - 1 - 3, 0)
-    step = 1 << shift
-    b = -(-n // step) * step
-    m = vote_lanes.MAX_BLOCKS_PER_CALL
-    if b > m:
-        b = -(-b // m) * m
+    b = vote_lanes.geom_pad(int(blocks_per_shard.max()),
+                            slab=vote_lanes.MAX_BLOCKS_PER_CALL)
 
     # block_tile: per (d, s) the local tile index of each emitted block,
     # padded with n_tiles-1 (all vectorised via repeat + group offsets)

@@ -660,13 +660,12 @@ def _polish_device_runs_windowed(
 
     from polypolish_tpu.ops.vote_lanes import TILE_W
 
-    key = ("lanes_windowed",)
+    w_pad = -(-_window_size() // TILE_W) * TILE_W
+    key = ("lanes_windowed", w_pad)
     model = _MODEL_CACHE.get(key)
     if model is None:
-        w_pad = -(-_window_size() // TILE_W) * TILE_W
         model = LanesPolisher(w_pad)
         _MODEL_CACHE[key] = model
-    w_pad = model.num_positions
     i32max = np.int32(2**31 - 1)
 
     def pad_w(arr, fill, dtype):
@@ -770,10 +769,9 @@ def _pad_bucket(n: int, granularity_bits: int = 3, minimum: int = 4096) -> int:
     """Round n up to a geometric bucket (<= 12.5% padding) so jitted
     device graphs are shared across contigs of similar length instead of
     recompiling per exact contig length."""
-    n = max(int(n), minimum)
-    shift = max(n.bit_length() - 1 - granularity_bits, 0)
-    step = 1 << shift
-    return -(-n // step) * step
+    from polypolish_tpu.ops.vote_lanes import geom_pad
+
+    return geom_pad(n, bits=granularity_bits, minimum=minimum)
 
 
 _MODEL_CACHE: Dict = {}
@@ -796,9 +794,11 @@ def _polish_sharded_lanes(
 
     n_data, n_pos = mesh.devices.shape
     try:
+        # geometric position bucket: contigs of similar length share
+        # one shard geometry and therefore one compiled SPMD step
         packed = runs_handle.lanes_mesh(
             name, n_data, n_pos, vote_lanes.R_SUB, vote_lanes.TILE_W,
-            packed4=True,
+            num_positions=_pad_bucket(seq_len), packed4=True,
         )
     except Exception:
         return None

@@ -13,7 +13,7 @@ right thing only because the probe was latency-bound.  Round 4 replaces
 it with an explicit cost model (main.rs:112-126 dispatch analog):
 
     host_s   = sam_bytes / HOST_ENGINE_BYTES_PER_S
-    device_s = sam_bytes / PARSE_BYTES_PER_S        (host parse+pack)
+    device_s = sam_bytes / (PARSE_SPEEDUP * host_rate)  (parse+pack)
              + sam_bytes * UPLOAD_FRACTION / bw     (lane slab uploads)
              + N_DISPATCH * latency                 (round trips)
 
@@ -42,7 +42,10 @@ from typing import Optional, Tuple
 #   uploads overlap, but compile-cache checks, thresholds and the
 #   decision fetch each pay the link latency).
 HOST_ENGINE_BYTES_PER_S = 600e6
-PARSE_BYTES_PER_S = 2 * HOST_ENGINE_BYTES_PER_S
+# the device path's host half (parse + lane pack, no fold) runs about
+# this multiple of the full host engine; scales with any
+# POLYPOLISH_TPU_HOST_RATE override
+PARSE_SPEEDUP = 2.0
 UPLOAD_FRACTION = 0.7
 N_DISPATCH = 8
 KERNEL_EPS_S = 0.05  # vote+consensus compute at chip speed
@@ -134,7 +137,7 @@ def predict_backend(sam_bytes: int, refresh: bool = False):
         except Exception as e:
             return "host", {"reason": f"link probe failed: {e!r}"}
     host_s = sam_bytes / host_rate
-    device_s = (sam_bytes / (2 * host_rate)
+    device_s = (sam_bytes / (PARSE_SPEEDUP * host_rate)
                 + sam_bytes * UPLOAD_FRACTION / bw
                 + N_DISPATCH * lat
                 + KERNEL_EPS_S)

@@ -115,13 +115,9 @@ def test_cap_and_windowed_device_fuzz(tmp_path, monkeypatch, seed):
     """Round-4 fuzz: the depth-stratified cap pack (kernel + overflow
     scatter) and the windowed DEVICE backend must agree bitwise with
     the host fold / host backend on random workloads."""
-    import importlib
-
     import jax.numpy as jnp
 
     from polypolish_tpu.ops.vote_lanes import _lanes_jit, add_overflow_counts
-
-    polish_mod = importlib.import_module("polypolish_tpu.pipeline.polish")
 
     rng = np.random.default_rng(seed)
     genome_len = int(rng.integers(900, 3500))
@@ -170,5 +166,4 @@ def test_cap_and_windowed_device_fuzz(tmp_path, monkeypatch, seed):
     window = int(rng.integers(200, genome_len + 500))
     monkeypatch.setenv("POLYPOLISH_TPU_WINDOW_MIN", "1")
     monkeypatch.setenv("POLYPOLISH_TPU_WINDOW", str(window))
-    polish_mod._MODEL_CACHE.pop(("lanes_windowed",), None)
     assert run("pallas") == host, f"window={window}"

@@ -32,9 +32,9 @@ def _run(tmp_path, fasta, sams, monkeypatch, backend, window=None, tag=""):
     else:
         monkeypatch.setenv("POLYPOLISH_TPU_WINDOW_MIN", "1")
         monkeypatch.setenv("POLYPOLISH_TPU_WINDOW", str(window))
-    # the windowed-device model is cached per window size; tests vary
-    # the window, so reset the cache
-    polish_mod._MODEL_CACHE.pop(("lanes_windowed",), None)
+    # the windowed-device model cache is keyed on the padded window
+    # size, so varying POLYPOLISH_TPU_WINDOW picks the right model
+    # automatically (round-4 review finding) — no manual reset needed
     out = io.StringIO()
     err = io.StringIO()
     with contextlib.redirect_stderr(err):
