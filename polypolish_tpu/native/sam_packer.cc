@@ -240,9 +240,35 @@ struct Worker : WorkerBase {
 // a side list for interned ids >= 255).  ~1 byte/event instead of 20 —
 // the event stream's memory traffic was the host bottleneck (see
 // BENCH_NOTES.md round 2).
+// Default-initialising allocator: vector<uint8_t, ...>::resize() skips
+// the value-initialisation memset of the appended tail (the parse
+// appends ~580 MB of vocab bytes that are immediately overwritten by
+// the LUT translate; the explicit resize(n, 0) fills for D-ops still
+// zero as written).
+template <class T, class A = std::allocator<T>>
+struct default_init_alloc : public A {
+  template <class U>
+  struct rebind {
+    using other = default_init_alloc<
+        U, typename std::allocator_traits<A>::template rebind_alloc<U>>;
+  };
+  using A::A;
+  template <class U>
+  void construct(U* ptr) noexcept(
+      std::is_nothrow_default_constructible<U>::value) {
+    ::new (static_cast<void*>(ptr)) U;
+  }
+  template <class U, class... Args>
+  void construct(U* ptr, Args&&... args) {
+    std::allocator_traits<A>::construct(static_cast<A&>(*this), ptr,
+                                        std::forward<Args>(args)...);
+  }
+};
+using ByteVec = std::vector<uint8_t, default_init_alloc<uint8_t>>;
+
 struct RunsWorker : WorkerBase {
   std::vector<int32_t> run_contig, run_start, run_len, run_k;
-  std::vector<uint8_t> vbytes;
+  ByteVec vbytes;
   std::vector<std::pair<int64_t, int32_t>> overflow;  // (local evt idx, vid)
   uint8_t lut8[256];   // raw seq byte (case-folded) -> vocab byte; 255 = slow
   std::string tmp_str; // reused insertion-string buffer
