@@ -679,8 +679,21 @@ def _polish_device_runs_windowed(
     zero_depth_count = 0
     changed_count = 0
 
-    pending = None  # (w_lo, w_hi, pack, counts_j, adopted_u8,
-    #                 status_u8, depth_w copy, thr copies)
+    # in-flight window pipeline: window k+depth's pack/upload is issued
+    # before window k's results are fetched.  Depth 1 suffices on the
+    # tunnel (one upload fully overlaps one compute); PCIe hosts can
+    # deepen it (each slot holds a pack + counts, ~2x window bytes).
+    import collections
+    import os as _os
+
+    try:
+        depth_slots = max(1, int(_os.environ.get(
+            "POLYPOLISH_TPU_WINDOW_DEPTH", 1)))
+    except ValueError:
+        depth_slots = 1
+    pending = collections.deque()  # (w_lo, w_hi, pack, counts_j,
+    #                                adopted_u8, status_u8, depth_w,
+    #                                thr copies)
 
     def finish_window(p):
         nonlocal total_depth, zero_depth_count, changed_count
@@ -735,13 +748,13 @@ def _polish_device_runs_windowed(
             pad_w(orig_id[w_lo:w_hi], 0, np.int32),
             ov_pos=pack.ov_pos, ov_vid=pack.ov_vid,
         )
-        cur = (w_lo, w_hi, pack, counts_j, adopted_u8, status_u8,
-               depth_w.copy(), valid_w.copy(), invalid_w.copy())
-        if pending is not None:
-            finish_window(pending)  # fetch k-1 while k computes
-        pending = cur
-    if pending is not None:
-        finish_window(pending)
+        pending.append((w_lo, w_hi, pack, counts_j, adopted_u8,
+                        status_u8, depth_w.copy(), valid_w.copy(),
+                        invalid_w.copy()))
+        while len(pending) > depth_slots:
+            finish_window(pending.popleft())  # fetch old while new computes
+    while pending:
+        finish_window(pending.popleft())
 
     cp = (np.concatenate(changed_pos) if changed_pos
           else np.empty(0, np.int64))

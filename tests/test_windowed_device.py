@@ -132,3 +132,21 @@ def test_lanes_pack_window_origin(tmp_path):
         )
         assert counts_w[:, w_real:].sum() == 0
     pr.close()
+
+
+@pytest.mark.parametrize("depth", ["2", "3"])
+def test_windowed_device_pipeline_depth(tmp_path, monkeypatch, depth):
+    """Deeper in-flight window pipelines (POLYPOLISH_TPU_WINDOW_DEPTH)
+    must not change the output — the FIFO fetch order preserves the
+    strict left-fold depth accounting."""
+    fasta, sam_text = synth.make_polish_case(
+        seed=42, genome_len=5000, n_reads=3000, read_len=60, err=0.08,
+        multi_frac=0.4,
+    )
+    host, host_stats = _run(tmp_path, fasta, [sam_text], monkeypatch,
+                            "host", tag=f"hd{depth}")
+    monkeypatch.setenv("POLYPOLISH_TPU_WINDOW_DEPTH", depth)
+    dev, dev_stats = _run(tmp_path, fasta, [sam_text], monkeypatch,
+                          "pallas", window=777, tag=f"dd{depth}")
+    assert dev == host
+    assert dev_stats == host_stats
