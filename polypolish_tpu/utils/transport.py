@@ -23,6 +23,16 @@ latency are measured once per process (two device_put probes).  The
 host/parse rates are calibration constants from the bench suite
 (overridable via POLYPOLISH_TPU_HOST_RATE), chosen conservative for the
 device side so auto never regresses a working host setup.
+
+Calibration caveat (measured round 4): on a WARM host the engine
+sustains ~1.3 GB/s (page-cached inputs, pooled buffers), i.e. ~2x the
+default constant, and the device path's host half (parse + lane pack)
+costs nearly as much as the whole host engine — so on CPU-rich hosts
+the host engine wins e2e at any link speed, and the model's pallas
+picks on fast links are optimistic for one-shot runs.  Operators on
+PCIe hosts with weak CPUs (where the fold dominates) should set
+POLYPOLISH_TPU_HOST_RATE to their measured rate; the tunnel-side
+conclusion (host) is robust either way.
 """
 
 from __future__ import annotations
