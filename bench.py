@@ -150,7 +150,8 @@ def main_e2e(args):
     import subprocess  # noqa: F401
 
     eprint(f"baseline: ppref (single-core reference replica), "
-           f"best of {args.baseline_runs}")
+           f"best of {args.baseline_runs} (first pass; interleaved "
+           f"re-runs follow the framework runs)")
     base_s, base_all, ref_fasta = run_replica(asm, sams, args.baseline_runs)
 
     proc = replica.run_polish(asm, sams)
@@ -195,6 +196,18 @@ def main_e2e(args):
     if not results:
         eprint("FATAL: no framework backend produced a result")
         raise SystemExit(1)
+
+    # second baseline pass AFTER the framework runs: machine state
+    # drifts on this microVM (page cache, fault service), so sampling
+    # the replica at both ends of the session and taking its best keeps
+    # the best-vs-best ratio from flattering whichever side happened to
+    # run in the better window
+    eprint(f"baseline re-check: ppref, best of {args.baseline_runs}")
+    base_s2, _a, ref2 = run_replica(asm, sams, args.baseline_runs)
+    if ref2 != ref_fasta:
+        eprint("FATAL: replica output changed between passes")
+        raise SystemExit(1)
+    base_s = min(base_s, base_s2)
 
     best_backend = min(results, key=results.get)
     ours_s = results[best_backend]
