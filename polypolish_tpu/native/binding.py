@@ -173,7 +173,7 @@ def _build() -> bool:
             return True
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            _SRC, "-o", _LIB + ".tmp",
+            _SRC, "-o", _LIB + ".tmp", "-lz",
         ]
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(_LIB + ".tmp", _LIB)

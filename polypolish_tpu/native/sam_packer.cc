@@ -38,6 +38,7 @@
 #include <mutex>
 #include <thread>
 #include <type_traits>
+#include <zlib.h>
 #include <unordered_map>
 #include <vector>
 
@@ -1327,6 +1328,360 @@ struct MappedFile {
   }
 };
 
+// ---------------------------------------------------------------------
+// Input materialisation (round 4): the native engines consume SAM TEXT;
+// gzipped SAM (incl. BGZF's concatenated gzip members) is inflated to a
+// buffer, and BAM (SAM spec §4) is decoded record-by-record into
+// equivalent SAM text — one code path then serves .sam/.sam.gz/.bam for
+// the polish parser, the filter quick-parse, and the filter rewrite.
+// (Extension over the reference, which reads plain SAM only.)
+// ---------------------------------------------------------------------
+
+static bool inflate_gzip_all(const uint8_t* src, size_t n,
+                             std::vector<char>& out, std::string& err) {
+  z_stream zs{};
+  if (inflateInit2(&zs, 15 + 32) != Z_OK) {  // auto gzip/zlib headers
+    err = "zlib init failed";
+    return false;
+  }
+  out.clear();
+  out.reserve(n * 4 + (1 << 16));
+  std::vector<char> buf(1 << 20);
+  size_t fed = std::min<size_t>(n, UINT32_MAX);
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = (uInt)fed;
+  for (;;) {
+    if (zs.avail_in == 0 && fed < n) {  // refeed (>4 GB compressed)
+      size_t more = std::min<size_t>(n - fed, UINT32_MAX);
+      zs.next_in = const_cast<Bytef*>(src + fed);
+      zs.avail_in = (uInt)more;
+      fed += more;
+    }
+    zs.next_out = (Bytef*)buf.data();
+    zs.avail_out = (uInt)buf.size();
+    int rc = inflate(&zs, Z_NO_FLUSH);
+    out.insert(out.end(), buf.data(),
+               buf.data() + (buf.size() - zs.avail_out));
+    if (rc == Z_STREAM_END) {
+      // BGZF files are many concatenated gzip members; reset and keep
+      // going until the input is exhausted
+      if (zs.avail_in == 0 && fed >= n) break;
+      if (inflateReset2(&zs, 15 + 32) != Z_OK) {
+        err = "zlib reset failed";
+        inflateEnd(&zs);
+        return false;
+      }
+      continue;
+    }
+    if (rc == Z_BUF_ERROR && zs.avail_in == 0 && fed >= n)
+      break;  // trailing garbage-free end
+    if (rc != Z_OK) {
+      err = "corrupt gzip stream";
+      inflateEnd(&zs);
+      return false;
+    }
+  }
+  inflateEnd(&zs);
+  return true;
+}
+
+static inline uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+static inline int32_t rd_i32(const uint8_t* p) {
+  int32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+static inline uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v;
+  memcpy(&v, p, 2);
+  return v;
+}
+
+static void append_i64(std::vector<char>& out, long long v) {
+  char tmp[24];
+  int k = snprintf(tmp, sizeof(tmp), "%lld", v);
+  out.insert(out.end(), tmp, tmp + k);
+}
+
+// Decode one BAM tag stream [p, end) to SAM text tags ("\tTG:T:val").
+// Integer subtypes all render as SAM type 'i' (spec §4.2.4) — the NM
+// tag the parser needs arrives as c/C/s/S/i/I in real BAMs.
+static bool bam_tags_to_sam(const uint8_t* p, const uint8_t* end,
+                            std::vector<char>& out, std::string& err) {
+  static const char* kIntT = "cCsSiI";
+  while (p < end) {
+    if (end - p < 3) {
+      err = "truncated BAM tag";
+      return false;
+    }
+    char t0 = (char)p[0], t1 = (char)p[1], typ = (char)p[2];
+    p += 3;
+    out.push_back('\t');
+    out.push_back(t0);
+    out.push_back(t1);
+    out.push_back(':');
+    if (typ == 'A') {
+      out.push_back('A');
+      out.push_back(':');
+      out.push_back((char)*p++);
+    } else if (strchr(kIntT, typ)) {
+      long long v = 0;
+      switch (typ) {
+        case 'c': v = *(const int8_t*)p; p += 1; break;
+        case 'C': v = *p; p += 1; break;
+        case 's': v = (int16_t)rd_u16(p); p += 2; break;
+        case 'S': v = rd_u16(p); p += 2; break;
+        case 'i': v = rd_i32(p); p += 4; break;
+        case 'I': v = rd_u32(p); p += 4; break;
+      }
+      out.push_back('i');
+      out.push_back(':');
+      append_i64(out, v);
+    } else if (typ == 'f') {
+      float f;
+      memcpy(&f, p, 4);
+      p += 4;
+      char tmp[32];
+      int k = snprintf(tmp, sizeof(tmp), "f:%g", (double)f);
+      out.insert(out.end(), tmp, tmp + k);
+    } else if (typ == 'Z' || typ == 'H') {
+      out.push_back(typ);
+      out.push_back(':');
+      while (p < end && *p) out.push_back((char)*p++);
+      if (p >= end) {
+        err = "unterminated BAM string tag";
+        return false;
+      }
+      ++p;  // NUL
+    } else if (typ == 'B') {
+      char sub = (char)*p++;
+      uint32_t cnt = rd_u32(p);
+      p += 4;
+      out.push_back('B');
+      out.push_back(':');
+      out.push_back(sub);
+      int w = (sub == 'c' || sub == 'C') ? 1
+              : (sub == 's' || sub == 'S') ? 2
+                                           : 4;
+      for (uint32_t i = 0; i < cnt; ++i) {
+        out.push_back(',');
+        if (sub == 'f') {
+          float f;
+          memcpy(&f, p, 4);
+          char tmp[32];
+          int k = snprintf(tmp, sizeof(tmp), "%g", (double)f);
+          out.insert(out.end(), tmp, tmp + k);
+        } else {
+          long long v = 0;
+          switch (sub) {
+            case 'c': v = *(const int8_t*)p; break;
+            case 'C': v = *p; break;
+            case 's': v = (int16_t)rd_u16(p); break;
+            case 'S': v = rd_u16(p); break;
+            case 'i': v = rd_i32(p); break;
+            case 'I': v = rd_u32(p); break;
+            default: err = "bad BAM B subtype"; return false;
+          }
+          append_i64(out, v);
+        }
+        p += w;
+      }
+    } else {
+      err = std::string("unsupported BAM tag type '") + typ + "'";
+      return false;
+    }
+  }
+  return true;
+}
+
+static bool bam_to_sam_text(const uint8_t* p, size_t n,
+                            std::vector<char>& out, std::string& err) {
+  static const char kCigarOp[] = "MIDNSHP=X";
+  static const char kSeq16[] = "=ACMGRSVTWYHKDBN";
+  const uint8_t* end = p + n;
+  if (n < 12 || memcmp(p, "BAM\x01", 4) != 0) {
+    err = "not a BAM file";
+    return false;
+  }
+  p += 4;
+  uint32_t l_text = rd_u32(p);
+  p += 4;
+  if ((size_t)(end - p) < l_text) {
+    err = "truncated BAM header";
+    return false;
+  }
+  // header text is SAM header lines; emit verbatim (may or may not be
+  // newline-terminated / NUL-padded)
+  size_t tlen = strnlen((const char*)p, l_text);
+  out.insert(out.end(), (const char*)p, (const char*)p + tlen);
+  if (tlen && out.back() != '\n') out.push_back('\n');
+  p += l_text;
+  if (end - p < 4) {
+    err = "truncated BAM reference block";
+    return false;
+  }
+  int32_t n_ref = rd_i32(p);
+  p += 4;
+  std::vector<std::string> refs;
+  refs.reserve((size_t)std::max(0, n_ref));
+  for (int32_t i = 0; i < n_ref; ++i) {
+    if (end - p < 4) {
+      err = "truncated BAM reference entry";
+      return false;
+    }
+    uint32_t l_name = rd_u32(p);
+    p += 4;
+    if ((size_t)(end - p) < l_name + 4) {
+      err = "truncated BAM reference entry";
+      return false;
+    }
+    refs.emplace_back((const char*)p,
+                      l_name ? l_name - 1 : 0);  // drop trailing NUL
+    p += l_name + 4;                             // skip l_ref
+  }
+  while (p < end) {
+    if (end - p < 4) {
+      err = "truncated BAM record";
+      return false;
+    }
+    uint32_t block = rd_u32(p);
+    p += 4;
+    if ((size_t)(end - p) < block || block < 32) {
+      err = "truncated BAM record";
+      return false;
+    }
+    const uint8_t* r = p;
+    p += block;
+    int32_t ref_id = rd_i32(r);
+    int32_t pos = rd_i32(r + 4);
+    uint8_t l_read_name = r[8];
+    uint8_t mapq = r[9];
+    uint16_t n_cigar = rd_u16(r + 12);
+    uint16_t flag = rd_u16(r + 14);
+    uint32_t l_seq = rd_u32(r + 16);
+    int32_t next_ref = rd_i32(r + 20);
+    int32_t next_pos = rd_i32(r + 24);
+    int32_t tlen_f = rd_i32(r + 28);
+    const uint8_t* q = r + 32;
+    const uint8_t* rend = r + block;
+    if ((size_t)(rend - q) <
+        (size_t)l_read_name + 4ull * n_cigar + (l_seq + 1) / 2 + l_seq) {
+      err = "truncated BAM record body";
+      return false;
+    }
+    // qname
+    out.insert(out.end(), (const char*)q,
+               (const char*)q + (l_read_name ? l_read_name - 1 : 0));
+    q += l_read_name;
+    out.push_back('\t');
+    append_i64(out, flag);
+    out.push_back('\t');
+    if (ref_id >= 0 && (size_t)ref_id < refs.size()) {
+      out.insert(out.end(), refs[(size_t)ref_id].begin(),
+                 refs[(size_t)ref_id].end());
+    } else {
+      out.push_back('*');
+    }
+    out.push_back('\t');
+    append_i64(out, (long long)pos + 1);
+    out.push_back('\t');
+    append_i64(out, mapq);
+    out.push_back('\t');
+    if (n_cigar == 0) {
+      out.push_back('*');
+    } else {
+      for (uint16_t i = 0; i < n_cigar; ++i) {
+        uint32_t cv = rd_u32(q + 4ull * i);
+        append_i64(out, cv >> 4);
+        uint32_t op = cv & 0xF;
+        out.push_back(op < 9 ? kCigarOp[op] : '?');
+      }
+    }
+    q += 4ull * n_cigar;
+    out.push_back('\t');
+    if (next_ref < 0) {
+      out.push_back('*');
+    } else if (next_ref == ref_id) {
+      out.push_back('=');
+    } else if ((size_t)next_ref < refs.size()) {
+      out.insert(out.end(), refs[(size_t)next_ref].begin(),
+                 refs[(size_t)next_ref].end());
+    } else {
+      out.push_back('*');
+    }
+    out.push_back('\t');
+    append_i64(out, (long long)next_pos + 1);
+    out.push_back('\t');
+    append_i64(out, tlen_f);
+    out.push_back('\t');
+    if (l_seq == 0) {
+      out.push_back('*');
+    } else {
+      for (uint32_t i = 0; i < l_seq; ++i) {
+        uint8_t nib = (i & 1) ? (q[i / 2] & 0xF) : (q[i / 2] >> 4);
+        out.push_back(kSeq16[nib]);
+      }
+    }
+    q += (l_seq + 1) / 2;
+    out.push_back('\t');
+    if (l_seq == 0 || q[0] == 0xFF) {
+      out.push_back('*');
+    } else {
+      for (uint32_t i = 0; i < l_seq; ++i)
+        out.push_back((char)(q[i] + 33));
+    }
+    q += l_seq;
+    if (!bam_tags_to_sam(q, rend, out, err)) return false;
+    out.push_back('\n');
+  }
+  return true;
+}
+
+// mmap + transparent gzip/BGZF inflation + BAM -> SAM text conversion;
+// .data/.size always point at plain SAM text on success.
+struct LoadedInput {
+  MappedFile mf;
+  std::vector<char> owned;
+  const char* data = nullptr;
+  size_t size = 0;
+  bool ok = false;
+  std::string error;
+
+  explicit LoadedInput(const std::string& filename) : mf(filename) {
+    if (!mf.ok) {
+      error = "unable to open file";
+      return;
+    }
+    const uint8_t* p = (const uint8_t*)mf.data;
+    size_t n = mf.size;
+    std::vector<char> inflated;
+    if (n >= 2 && p[0] == 0x1f && p[1] == 0x8b) {
+      if (!inflate_gzip_all(p, n, inflated, error)) return;
+      p = (const uint8_t*)inflated.data();
+      n = inflated.size();
+    }
+    if (n >= 4 && memcmp(p, "BAM\x01", 4) == 0) {
+      std::vector<char> text;
+      if (!bam_to_sam_text(p, n, text, error)) return;
+      owned.swap(text);
+      data = owned.data();
+      size = owned.size();
+    } else if (!inflated.empty()) {
+      owned.swap(inflated);
+      data = owned.data();
+      size = owned.size();
+    } else {
+      data = mf.data;
+      size = mf.size;
+    }
+    ok = true;
+  }
+};
+
 int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
                     int64_t n_files, Shared& sh, int32_t n_threads,
                     int32_t proc_idx, int32_t n_procs) {
@@ -1339,10 +1694,11 @@ int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
     fstart = nl + 1;
     sh.filename = filename;
 
-    MappedFile mf(filename);
+    LoadedInput mf(filename);
     if (!mf.ok) {
       out->status = 1;
-      out->error = "unable to load alignments from \"" + filename + "\"";
+      out->error = "unable to load alignments from \"" + filename + "\"" +
+                   (mf.error.empty() ? "" : " (" + mf.error + ")");
       return 1;
     }
     sh.data = std::string_view(mf.data, mf.size);
@@ -2006,11 +2362,11 @@ static bool quick_parse_file(const char* filename, QuickFile& out,
                              std::unordered_map<std::string, int32_t>& refs,
                              std::vector<std::string>* ref_strs,
                              QuickBuffers& qb) {
-  MappedFile mf(filename);
+  LoadedInput mf(filename);
   if (!mf.ok) {
     qb.status = 1;
     qb.error = std::string("unable to load alignments from \"") + filename +
-               "\"";
+               "\"" + (mf.error.empty() ? "" : " (" + mf.error + ")");
     return false;
   }
   std::string_view data(mf.data, mf.size);
@@ -2183,11 +2539,12 @@ PPRewriteView* pp_rewrite_sam(const char* in_filename,
   memset(view, 0, sizeof(*view));
   view->handle = rb;
 
-  MappedFile mf(in_filename);
+  LoadedInput mf(in_filename);
   if (!mf.ok) {
     view->status = 1;
     rb->error = std::string("unable to load alignments from \"") +
-                in_filename + "\"";
+                in_filename + "\"" +
+                (mf.error.empty() ? "" : " (" + mf.error + ")");
     view->error = rb->error.c_str();
     return view;
   }

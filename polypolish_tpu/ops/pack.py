@@ -137,10 +137,10 @@ def process_sam(
     the reference (alignment.rs:214-272).  Gzipped SAM is transparently
     decompressed (extension; the reference reads plain SAM only).
     """
-    from polypolish_tpu.io.fasta import open_text_auto
+    from polypolish_tpu.io.bam import open_sam_text
 
     try:
-        f = open_text_auto(filename)
+        f = open_sam_text(filename)
     except OSError:
         quit_with_error(f'unable to load alignments from "{filename}"')
     with f:

@@ -147,18 +147,14 @@ def load_alignments(
 
 
 def _load_native(in1: str, in2: str):
-    """Native quick-parse path (plain-text inputs only); returns None to
-    fall back to the Python loader."""
+    """Native quick-parse path; returns None to fall back to the Python
+    loader.  Gzipped SAM and BAM inputs are handled natively since
+    round 4 (LoadedInput in sam_packer.cc)."""
     try:
         from polypolish_tpu.native import binding, loader
 
         if not loader.available():
             return None
-        for filename in (in1, in2):
-            with open(filename, "rb") as f:
-                head = f.read(2)
-            if len(head) == 2 and head[0] == 31 and head[1] == 139:
-                return None  # gzipped: Python path decompresses
     except OSError:
         return None
     parsed = binding.quick_parse_pair(in1, in2)
@@ -186,10 +182,10 @@ def _load_one_file(
     name_index: Dict[str, int],
     ref_index: Dict[str, int],
 ) -> None:
-    from polypolish_tpu.io.fasta import open_text_auto
+    from polypolish_tpu.io.bam import open_sam_text
 
     try:
-        f = open_text_auto(filename)
+        f = open_sam_text(filename)
     except OSError:
         quit_with_error(f'unable to load alignments from "{filename}"')
     alignment_count = 0
@@ -424,8 +420,9 @@ def compute_verdicts(
 
 
 def _rewrite_native(in_filename: str, out_filename: str, verdicts: np.ndarray):
-    """Native re-stream (plain-text in and out only); returns None to fall
-    back to the Python line loop."""
+    """Native re-stream (plain-text OUTPUT only; gz/BAM inputs are
+    materialised as SAM text natively since round 4); returns None to
+    fall back to the Python line loop."""
     if str(out_filename).endswith(".gz"):
         return None
     try:
@@ -433,10 +430,6 @@ def _rewrite_native(in_filename: str, out_filename: str, verdicts: np.ndarray):
 
         if not loader.available():
             return None
-        with open(in_filename, "rb") as f:
-            head = f.read(2)
-        if len(head) == 2 and head[0] == 31 and head[1] == 139:
-            return None  # gzipped input: Python path decompresses
     except OSError:
         return None
     return binding.rewrite_sam_native(in_filename, out_filename, verdicts)
@@ -470,10 +463,11 @@ def _rewrite_python(in_filename: str, out_filename: str,
     pass_count = 0
     fail_count = 0
     idx = 0
+    from polypolish_tpu.io.bam import open_sam_text
     from polypolish_tpu.io.fasta import open_text_auto
 
     try:
-        fin = open_text_auto(in_filename)
+        fin = open_sam_text(in_filename)
     except OSError:
         quit_with_error(f'unable to load alignments from "{in_filename}"')
     try:

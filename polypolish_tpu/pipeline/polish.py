@@ -219,11 +219,8 @@ def _load_alignments_runs(
 
         if not loader.available():
             return None
-        for s in sam:  # gzipped files take the Python fallback path
-            with open(s, "rb") as f:
-                head = f.read(2)
-            if len(head) == 2 and head[0] == 31 and head[1] == 139:
-                return None
+        # gzipped SAM and BAM inputs are handled natively since round 4
+        # (LoadedInput inflates/converts to SAM text in sam_packer.cc)
     except OSError:
         return None
     log.section_header("Loading alignments")
