@@ -110,3 +110,23 @@ def test_filter_bam_inputs(tmp_path):
         return o1.read_text(), o2.read_text()
 
     assert run(b1, b2, "bam") == run(p1, p2, "sam")
+
+
+def test_pod_shards_bam(tmp_path):
+    """In-process pod-sharded ingest (--pod-shards) over a BAM input:
+    byte ranges are computed on the materialised SAM text identically
+    in every shard, so output matches the plain path."""
+    if not loader.available():
+        pytest.skip("native library unavailable")
+    from polypolish_tpu.pipeline.pod import polish_pod
+
+    asm, sam, sam_text = _case(tmp_path, seed=17)
+    bam = tmp_path / "a.bam"
+    bam_util.write_bam(bam, sam_text)
+    want = _polish(asm, [sam], tmp_path, "pod_ref")[0]
+
+    out = io.StringIO()
+    with log.quiet():
+        polish_pod(None, 0.2, 0.5, 10, 5, False, str(asm), [str(bam)],
+                   2, out=out)
+    assert out.getvalue() == want
