@@ -109,7 +109,11 @@ def bam_to_sam_lines(filename) -> Iterator[str]:
     if data[:4] != b"BAM\x01":
         raise ValueError(f'"{filename}" is not a BAM file')
     mv = memoryview(data)
+    if len(data) < 12:
+        raise ValueError("truncated BAM header")
     (l_text,) = struct.unpack_from("<I", mv, 4)
+    if len(data) < 12 + l_text:
+        raise ValueError("truncated BAM header")
     text = bytes(mv[8:8 + l_text]).split(b"\x00", 1)[0].decode("latin-1")
     for ln in text.splitlines():
         yield ln
@@ -118,20 +122,31 @@ def bam_to_sam_lines(filename) -> Iterator[str]:
     p += 4
     refs = []
     for _ in range(max(0, n_ref)):
+        if len(data) - p < 4:
+            raise ValueError("truncated BAM reference entry")
         (l_name,) = struct.unpack_from("<I", mv, p)
         p += 4
+        if len(data) - p < l_name + 4:
+            raise ValueError("truncated BAM reference entry")
         refs.append(bytes(mv[p:p + l_name - 1]).decode("latin-1")
                     if l_name else "")
         p += l_name + 4
     n = len(data)
     while p < n:
+        if n - p < 4:
+            raise ValueError("truncated BAM record")
         (block,) = struct.unpack_from("<I", mv, p)
         p += 4
+        if block < 32 or n - p < block:
+            raise ValueError("truncated BAM record")
         r = mv[p:p + block]
         p += block
         (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
          l_seq, next_ref, next_pos, tlen) = struct.unpack_from(
             "<iiBBHHHIiii", r, 0)
+        if 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq \
+                > block:
+            raise ValueError("truncated BAM record body")
         q = 32
         qname = bytes(r[q:q + l_read_name - 1]).decode("latin-1")
         q += l_read_name

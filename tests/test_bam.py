@@ -130,3 +130,28 @@ def test_pod_shards_bam(tmp_path):
         polish_pod(None, 0.2, 0.5, 10, 5, False, str(asm), [str(bam)],
                    2, out=out)
     assert out.getvalue() == want
+
+
+def test_corrupt_bam_is_fatal_not_crash(tmp_path):
+    """Truncated/corrupt BAM and garbage gzip inputs must fail with the
+    reference-style fatal, not crash, on both packers."""
+    from polypolish_tpu.errors import PolypolishError
+
+    asm, sam, sam_text = _case(tmp_path, seed=23)
+    bad1 = tmp_path / "trunc.bam"
+    bam_util.write_bam(bad1, sam_text, compress=False)
+    raw = bad1.read_bytes()
+    bad1.write_bytes(raw[: len(raw) // 2 + 7])  # mid-record truncation
+    bad2 = tmp_path / "garbage.sam.gz"
+    bad2.write_bytes(b"\x1f\x8b" + b"\x00" * 64)
+
+    for bad in (bad1, bad2):
+        for use_native in (True, False):
+            if use_native and not loader.available():
+                continue
+            out = io.StringIO()
+            with pytest.raises((PolypolishError, ValueError, OSError,
+                                EOFError)):
+                with log.quiet():
+                    polish(None, 0.2, 0.5, 10, 5, False, str(asm),
+                           [str(bad)], out=out, use_native=use_native)
