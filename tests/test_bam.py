@@ -155,3 +155,35 @@ def test_corrupt_bam_is_fatal_not_crash(tmp_path):
                 with log.quiet():
                     polish(None, 0.2, 0.5, 10, 5, False, str(asm),
                            [str(bad)], out=out, use_native=use_native)
+
+
+def test_bam_unaligned_and_star_fields(tmp_path):
+    """Hand-rolled corner cases through the BAM codec: unaligned
+    records (flag 4, refID -1), '*' CIGAR/seq/qual, secondary '*'-seq
+    records, and mixed tag types — polish output must match the SAM
+    equivalent on both packers."""
+    seq = "ACGTACGTACGTACGTACGT"
+    sam_text = "\n".join([
+        "@SQ\tSN:c\tLN:40",
+        f"r1\t0\tc\t1\t60\t20M\t*\t0\t0\t{seq}\t*\tNM:i:0",
+        f"r1\t256\tc\t21\t0\t20M\t*\t0\t0\t*\t*\tNM:i:1",
+        "r2\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tIIII",
+        f"r3\t16\tc\t11\t60\t20M\t*\t0\t0\t{seq}\t*\tNM:i:2\tAS:i:37\t"
+        "XX:Z:note",
+    ]) + "\n"
+    asm = tmp_path / "a.fasta"
+    asm.write_text(">c x\n" + "ACGTACGTACGTACGTACGT" * 2 + "\n")
+    sam = tmp_path / "a.sam"
+    sam.write_text(sam_text)
+    bam = tmp_path / "a.bam"
+    bam_util.write_bam(bam, sam_text)
+    # converter text fidelity on the corner-case fields
+    assert "\n".join(bam_to_sam_lines(bam)) + "\n" == sam_text
+    for use_native in (True, False):
+        if use_native and not loader.available():
+            continue
+        want = _polish(asm, [sam], tmp_path, f"cs{use_native}",
+                       use_native)
+        got = _polish(asm, [bam], tmp_path, f"cb{use_native}",
+                      use_native)
+        assert got == want
