@@ -251,7 +251,9 @@ def measure_chip_extras(args, asm, sams, ref_fasta):
 
         eprint("TPU attached: lanes-kernel roofline (depth-50 shape, "
                "bitwise-checked) ...")
-        n_pos = 1_000_000
+        n_pos = 500_000  # half the config-2 shape: same depth profile,
+        #                  half the host prep time; measured rate matches
+        #                  the 1M-position shape within noise
         rng = np.random.default_rng(0)
         pos = np.sort(
             rng.integers(0, n_pos, size=50 * n_pos)
