@@ -187,3 +187,23 @@ def test_bam_unaligned_and_star_fields(tmp_path):
         got = _polish(asm, [bam], tmp_path, f"cb{use_native}",
                       use_native)
         assert got == want
+
+
+def test_batch_manifest_with_bam(tmp_path):
+    """batch manifests may list BAM alignment inputs."""
+    if not loader.available():
+        pytest.skip("native library unavailable")
+    from polypolish_tpu.pipeline.batch import polish_batch
+
+    asm, sam, sam_text = _case(tmp_path, seed=29)
+    bam = tmp_path / "a.bam"
+    bam_util.write_bam(bam, sam_text)
+    out_s = tmp_path / "out_s.fasta"
+    out_b = tmp_path / "out_b.fasta"
+    with log.quiet():
+        results = polish_batch([
+            (str(asm), str(out_s), [str(sam)]),
+            (str(asm), str(out_b), [str(bam)]),
+        ], workers=2)
+    assert all("error" not in r for r in results)
+    assert out_s.read_text() == out_b.read_text()
