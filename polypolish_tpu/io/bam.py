@@ -47,6 +47,10 @@ def _inflate_all(filename) -> bytes:
         while pos < len(raw):
             d = zlib.decompressobj(15 + 32)
             out.append(d.decompress(raw[pos:]))
+            if not d.eof:
+                # Input exhausted mid-member: a truncated prefix would
+                # otherwise decode "cleanly" and silently drop records.
+                raise ValueError("truncated gzip stream")
             pos = len(raw) - len(d.unused_data)
             if not d.unused_data:
                 break
@@ -55,35 +59,56 @@ def _inflate_all(filename) -> bytes:
 
 
 def _render_tags(buf: memoryview, out: list) -> None:
+    # Bounds-checked like the native twin (sam_packer.cc
+    # bam_tags_to_sam): malformed payloads raise the same clean
+    # "truncated BAM tag" / "unterminated BAM string tag" errors
+    # instead of escaping as IndexError/struct.error.
     p = 0
     n = len(buf)
     while p < n:
+        if n - p < 3:
+            raise ValueError("truncated BAM tag")
         tag = bytes(buf[p:p + 2]).decode("latin-1")
         typ = chr(buf[p + 2])
         p += 3
         if typ == "A":
+            if n - p < 1:
+                raise ValueError("truncated BAM tag")
             out.append(f"\t{tag}:A:{chr(buf[p])}")
             p += 1
         elif typ in _INT_TAGS:
             fmt, w = _INT_TAGS[typ]
+            if n - p < w:
+                raise ValueError("truncated BAM tag")
             (v,) = struct.unpack_from(fmt, buf, p)
             p += w
             out.append(f"\t{tag}:i:{v}")
         elif typ == "f":
+            if n - p < 4:
+                raise ValueError("truncated BAM tag")
             (v,) = struct.unpack_from("<f", buf, p)
             p += 4
             out.append(f"\t{tag}:f:{v:g}")
         elif typ in ("Z", "H"):
             end = p
-            while buf[end]:
+            while end < n and buf[end]:
                 end += 1
+            if end >= n:
+                raise ValueError("unterminated BAM string tag")
             out.append(f"\t{tag}:{typ}:"
                        + bytes(buf[p:end]).decode("latin-1"))
             p = end + 1
         elif typ == "B":
+            if n - p < 5:
+                raise ValueError("truncated BAM tag")
             sub = chr(buf[p])
             (cnt,) = struct.unpack_from("<I", buf, p + 1)
             p += 5
+            if sub != "f" and sub not in _INT_TAGS:
+                raise ValueError("bad BAM B subtype")
+            w = 4 if sub == "f" else _INT_TAGS[sub][1]
+            if n - p < cnt * w:
+                raise ValueError("truncated BAM tag")
             vals = []
             if sub == "f":
                 for _ in range(cnt):
@@ -99,7 +124,7 @@ def _render_tags(buf: memoryview, out: list) -> None:
             out.append(f"\t{tag}:B:{sub}," + ",".join(vals)
                        if vals else f"\t{tag}:B:{sub}")
         else:
-            raise ValueError(f"unsupported BAM tag type {typ!r}")
+            raise ValueError(f"unsupported BAM tag type '{typ}'")
 
 
 def bam_to_sam_lines(filename) -> Iterator[str]:
@@ -159,7 +184,10 @@ def bam_to_sam_lines(filename) -> Iterator[str]:
             cig = []
             for i in range(n_cigar):
                 (cv,) = struct.unpack_from("<I", r, q + 4 * i)
-                cig.append(f"{cv >> 4}{CIGAR_OPS[cv & 0xF]}")
+                op = cv & 0xF
+                # reserved op codes 9-15 render as '?' (matching the
+                # native converter) and fail cleanly in the SAM parser
+                cig.append(f"{cv >> 4}{CIGAR_OPS[op] if op < 9 else '?'}")
             parts.append("".join(cig))
         q += 4 * n_cigar
         if next_ref < 0:

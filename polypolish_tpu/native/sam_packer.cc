@@ -1373,8 +1373,15 @@ static bool inflate_gzip_all(const uint8_t* src, size_t n,
       }
       continue;
     }
-    if (rc == Z_BUF_ERROR && zs.avail_in == 0 && fed >= n)
-      break;  // trailing garbage-free end
+    if (rc == Z_BUF_ERROR && zs.avail_in == 0 && fed >= n) {
+      // Input exhausted mid-member: the last inflate() did not reach
+      // Z_STREAM_END, so the file is a truncated prefix.  Accepting it
+      // would silently drop alignments (truncation at a record/line
+      // boundary parses cleanly downstream) — hard error instead.
+      err = "truncated gzip stream";
+      inflateEnd(&zs);
+      return false;
+    }
     if (rc != Z_OK) {
       err = "corrupt gzip stream";
       inflateEnd(&zs);
@@ -1425,10 +1432,21 @@ static bool bam_tags_to_sam(const uint8_t* p, const uint8_t* end,
     out.push_back(t1);
     out.push_back(':');
     if (typ == 'A') {
+      if (end - p < 1) {
+        err = "truncated BAM tag";
+        return false;
+      }
       out.push_back('A');
       out.push_back(':');
       out.push_back((char)*p++);
     } else if (strchr(kIntT, typ)) {
+      int tw = (typ == 'c' || typ == 'C') ? 1
+               : (typ == 's' || typ == 'S') ? 2
+                                            : 4;
+      if (end - p < tw) {
+        err = "truncated BAM tag";
+        return false;
+      }
       long long v = 0;
       switch (typ) {
         case 'c': v = *(const int8_t*)p; p += 1; break;
@@ -1442,6 +1460,10 @@ static bool bam_tags_to_sam(const uint8_t* p, const uint8_t* end,
       out.push_back(':');
       append_i64(out, v);
     } else if (typ == 'f') {
+      if (end - p < 4) {
+        err = "truncated BAM tag";
+        return false;
+      }
       float f;
       memcpy(&f, p, 4);
       p += 4;
@@ -1458,6 +1480,10 @@ static bool bam_tags_to_sam(const uint8_t* p, const uint8_t* end,
       }
       ++p;  // NUL
     } else if (typ == 'B') {
+      if (end - p < 5) {
+        err = "truncated BAM tag";
+        return false;
+      }
       char sub = (char)*p++;
       uint32_t cnt = rd_u32(p);
       p += 4;
@@ -1467,6 +1493,14 @@ static bool bam_tags_to_sam(const uint8_t* p, const uint8_t* end,
       int w = (sub == 'c' || sub == 'C') ? 1
               : (sub == 's' || sub == 'S') ? 2
                                            : 4;
+      if (!strchr("cCsSiIf", sub)) {
+        err = "bad BAM B subtype";
+        return false;
+      }
+      if ((uint64_t)(end - p) < (uint64_t)cnt * (uint64_t)w) {
+        err = "truncated BAM tag";
+        return false;
+      }
       for (uint32_t i = 0; i < cnt; ++i) {
         out.push_back(',');
         if (sub == 'f') {

@@ -725,33 +725,41 @@ def _polish_device_runs_windowed(
         # the CPU backend, so the pack must outlive the fetch)
         pack.close()
 
-    for w_lo in range(0, seq_len, w_pad):
-        w_hi = min(seq_len, w_lo + w_pad)
-        _c, depth_w, thr_w = runs_handle.fold_window(
-            name, w_lo, w_hi, thresholds, want_counts=False
-        )
-        valid_w, invalid_w, low_w = thr_w
-        pack = runs_handle.lanes(
-            name, model.r_sub, model.tile_w, num_positions=w_pad,
-            packed4=(model.body == "packed4"), cap=True, w_lo=w_lo,
-        )
-        if pack is None:
-            return None  # fall back to the non-windowed paths
-        counts_j, adopted_u8, status_u8 = model.forward_pack(
-            pack.vb, pack.block_tile,
-            pad_w(valid_w, i32max, np.int32),
-            pad_w(invalid_w, i32max, np.int32),
-            pad_w(low_w, True, bool),
-            pad_w(orig_id[w_lo:w_hi], 0, np.int32),
-            ov_pos=pack.ov_pos, ov_vid=pack.ov_vid,
-        )
-        pending.append((w_lo, w_hi, pack, counts_j, adopted_u8,
-                        status_u8, depth_w.copy(), valid_w.copy(),
-                        invalid_w.copy()))
-        while len(pending) > depth_slots:
-            finish_window(pending.popleft())  # fetch old while new computes
-    while pending:
-        finish_window(pending.popleft())
+    try:
+        for w_lo in range(0, seq_len, w_pad):
+            w_hi = min(seq_len, w_lo + w_pad)
+            _c, depth_w, thr_w = runs_handle.fold_window(
+                name, w_lo, w_hi, thresholds, want_counts=False
+            )
+            valid_w, invalid_w, low_w = thr_w
+            pack = runs_handle.lanes(
+                name, model.r_sub, model.tile_w, num_positions=w_pad,
+                packed4=(model.body == "packed4"), cap=True, w_lo=w_lo,
+            )
+            if pack is None:
+                return None  # fall back to the non-windowed paths
+            counts_j, adopted_u8, status_u8 = model.forward_pack(
+                pack.vb, pack.block_tile,
+                pad_w(valid_w, i32max, np.int32),
+                pad_w(invalid_w, i32max, np.int32),
+                pad_w(low_w, True, bool),
+                pad_w(orig_id[w_lo:w_hi], 0, np.int32),
+                ov_pos=pack.ov_pos, ov_vid=pack.ov_vid,
+            )
+            pending.append((w_lo, w_hi, pack, counts_j, adopted_u8,
+                            status_u8, depth_w.copy(), valid_w.copy(),
+                            invalid_w.copy()))
+            while len(pending) > depth_slots:
+                finish_window(pending.popleft())  # fetch old while new computes
+        while pending:
+            finish_window(pending.popleft())
+    finally:
+        # mid-stream bail-out (pack None -> fallback, or an exception):
+        # release any native pack buffers still queued, else they live
+        # until GC while the fallback path re-polishes the contig
+        for p in pending:
+            p[2].close()
+        pending.clear()
 
     cp = (np.concatenate(changed_pos) if changed_pos
           else np.empty(0, np.int64))

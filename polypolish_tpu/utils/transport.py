@@ -113,7 +113,12 @@ def measure_link(refresh: bool = False) -> Tuple[float, float]:
         t0 = time.perf_counter()
         jax.device_put(big, device).block_until_ready()
         t_big = min(t_big, time.perf_counter() - t0)
-    bw = _SNIFF_BYTES / max(t_big - lat, 1e-9)
+    # Jitter guard: on a noisy link the best tiny-probe time can exceed
+    # the best large-probe time, making (t_big - lat) ~ 0 and the
+    # inferred bandwidth absurd (~4e15 B/s), which would flip auto to
+    # the device path on a tunnel-grade link.  Clamp the payload time to
+    # at least half the large-probe wall time.
+    bw = _SNIFF_BYTES / max(t_big - lat, t_big * 0.5, 1e-9)
     _cached_link = (bw, lat)
     return _cached_link
 

@@ -207,3 +207,114 @@ def test_batch_manifest_with_bam(tmp_path):
         ], workers=2)
     assert all("error" not in r for r in results)
     assert out_s.read_text() == out_b.read_text()
+
+# ---------------------------------------------------------------------
+# Round-5 hardening (ADVICE round 4): truncated-gzip acceptance, tag
+# payload bounds, reserved CIGAR op codes.
+# ---------------------------------------------------------------------
+
+import struct
+import zlib
+
+
+def test_truncated_gzip_member_is_fatal(tmp_path):
+    """A .sam.gz / BGZF BAM cut mid-member must be a hard error on BOTH
+    packers, never a silently-parsed prefix (truncation at a line/record
+    boundary would otherwise decode 'cleanly' and drop alignments)."""
+    from polypolish_tpu.errors import PolypolishError
+    from polypolish_tpu.io.bam import _inflate_all
+
+    asm, sam, sam_text = _case(tmp_path, seed=31)
+
+    # single-member gzip SAM, truncated mid-member (a decoded prefix
+    # could end on a line boundary and would otherwise parse clean)
+    gz_body = gzip.compress(sam_text.encode())
+    trunc = tmp_path / "t.sam.gz"
+    trunc.write_bytes(gz_body[: int(len(gz_body) * 0.6)])
+
+    if loader.available():
+        out = io.StringIO()
+        with pytest.raises(PolypolishError, match="truncated gzip"):
+            with log.quiet():
+                polish(None, 0.2, 0.5, 10, 5, False, str(asm),
+                       [str(trunc)], out=out, use_native=True)
+
+    # BGZF BAM truncated mid-member: the pure-Python inflate must raise
+    bam = tmp_path / "t.bam"
+    bam_util.write_bam(bam, sam_text, compress=True)
+    raw = bam.read_bytes()
+    cut = tmp_path / "cut.bam"
+    cut.write_bytes(raw[: len(raw) - 40])  # drop EOF marker + tail
+    with pytest.raises(ValueError, match="truncated gzip"):
+        _inflate_all(cut)
+
+
+def _manual_bam(tmp_path, tag_bytes=b"", cigar_ops=((4, 0),)):
+    """Uncompressed single-record BAM with raw control over the tag
+    bytes and CIGAR op codes (block length always self-consistent, so
+    record-level guards pass and the tag/CIGAR decoders are reached)."""
+    out = bytearray(b"BAM\x01")
+    text = b"@SQ\tSN:ref\tLN:10\n"
+    out += struct.pack("<I", len(text)) + text
+    out += struct.pack("<i", 1)
+    out += struct.pack("<I", 4) + b"ref\x00" + struct.pack("<i", 10)
+    name_b = b"r1\x00"
+    seq = "ACGT"
+    sq = bytes((bam_util.SEQ_CODE[seq[i]] << 4)
+               | (bam_util.SEQ_CODE[seq[i + 1]] if i + 1 < 4 else 0)
+               for i in range(0, 4, 2))
+    body = struct.pack("<iiBBHHHIiii", 0, 0, len(name_b), 60, 0,
+                       len(cigar_ops), 0, 4, -1, -1, 0)
+    body += name_b
+    body += b"".join(struct.pack("<I", (ln << 4) | op)
+                     for ln, op in cigar_ops)
+    body += sq + b"\x1e" * 4 + bytes(tag_bytes)
+    out += struct.pack("<I", len(body)) + body
+    p = tmp_path / "manual.bam"
+    p.write_bytes(bytes(out))
+    return p
+
+
+@pytest.mark.parametrize("tag_bytes,msg", [
+    (b"XXZabc", "unterminated BAM string tag"),      # Z without NUL
+    (b"XXi\x01", "truncated BAM tag"),               # int cut short
+    (b"XXf\x00\x00", "truncated BAM tag"),           # float cut short
+    (b"XXA", "truncated BAM tag"),                   # A with no value
+    (b"XXBc\x10\x00\x00\x00\x01", "truncated BAM tag"),  # B count 16, 1 B
+    (b"XXBq\x01\x00\x00\x00\x00", "bad BAM B subtype"),  # bad subtype
+    (b"XX", "truncated BAM tag"),                    # header cut short
+])
+def test_malformed_bam_tags_fail_cleanly(tmp_path, tag_bytes, msg):
+    """Malformed tag payloads raise the same clean errors as the native
+    converter, not raw IndexError/struct.error (ADVICE r4)."""
+    bad = _manual_bam(tmp_path, tag_bytes=tag_bytes)
+    with pytest.raises(ValueError, match=msg):
+        list(bam_to_sam_lines(bad))
+
+
+def test_malformed_bam_tags_native_fatal(tmp_path):
+    """The native converter reports the matching clean fatal for a
+    malformed tag payload (no crash, no silent acceptance)."""
+    if not loader.available():
+        pytest.skip("native library unavailable")
+    from polypolish_tpu.errors import PolypolishError
+
+    asm = tmp_path / "a.fasta"
+    asm.write_text(">ref x\nACGTACGTAC\n")
+    bad = _manual_bam(tmp_path, tag_bytes=b"XXZabc")
+    out = io.StringIO()
+    with pytest.raises(PolypolishError, match="unterminated BAM string"):
+        with log.quiet():
+            polish(None, 0.2, 0.5, 10, 5, False, str(asm), [str(bad)],
+                   out=out, use_native=True)
+
+
+def test_reserved_bam_cigar_op_renders_question_mark(tmp_path):
+    """Reserved BAM CIGAR op codes 9-15 render as '?' (native parity)
+    and then fail cleanly in the SAM CIGAR validator, instead of
+    raising IndexError inside the converter."""
+    bad = _manual_bam(tmp_path, tag_bytes=b"NMi\x00\x00\x00\x00",
+                      cigar_ops=((4, 11),))
+    lines = list(bam_to_sam_lines(bad))
+    rec = [ln for ln in lines if not ln.startswith("@")][0]
+    assert rec.split("\t")[5] == "4?"
