@@ -162,9 +162,21 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("-d", "--min_depth", type=int, default=5)
     b.add_argument("--careful", action="store_true")
     b.add_argument(
-        "--backend", default="auto", choices=("auto", "host", "xla", "pallas")
+        "--backend", default="auto",
+        choices=("auto", "host", "xla", "pallas", "sharded"),
+        help="Vote/consensus execution backend per genome (default: "
+        "auto; 'sharded' = SPMD over all devices)",
+    )
+    b.add_argument(
+        "--kernel-variant", default=None, choices=("lanes", "mxu"),
+        help="Device vote kernel for the device backends",
     )
     b.add_argument("--workers", type=int, default=None)
+    b.add_argument(
+        "--threads", type=int, default=None,
+        help="Native SAM packer threads per genome (default: 1 when "
+        "several genomes are in flight; output is bit-identical)",
+    )
     b.add_argument("--pure-python", action="store_true")
     b.add_argument(
         "--resume", action="store_true",
@@ -198,8 +210,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend", default="auto",
         choices=("auto", "host", "xla", "pallas", "sharded"),
     )
+    r.add_argument(
+        "--kernel-variant", default=None, choices=("lanes", "mxu"),
+        help="Device vote kernel for the device backends",
+    )
     r.add_argument("--pure-python", action="store_true")
     r.add_argument("--threads", type=int, default=None)
+    r.add_argument(
+        "--pod-shards", type=int, default=0,
+        help="Shard the polish-stage SAM ingest over N byte-range "
+        "shards (output is bit-identical to unsharded)",
+    )
     r.add_argument(
         "--keep-filtered", default=None,
         help="Directory to keep the intermediate filtered SAMs",
@@ -376,6 +397,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 workers=args.workers,
                 resume=args.resume,
                 shard_across_hosts=args.shard_across_hosts,
+                n_threads=args.threads,
             )
             if any("error" in r for r in results):
                 return 1
@@ -394,6 +416,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                                          [args.in1, args.in2]),
                 use_native=not args.pure_python,
                 n_threads=args.threads,
+                pod_shards=args.pod_shards,
                 keep_filtered=args.keep_filtered,
             )
     except PolypolishError as e:

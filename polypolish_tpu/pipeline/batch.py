@@ -54,6 +54,7 @@ def polish_batch(
     workers: Optional[int] = None,
     resume: bool = False,
     shard_across_hosts: bool = False,
+    n_threads: Optional[int] = None,
 ) -> List[Dict]:
     """Polish every (assembly, out_path, sams) job; returns per-genome
     summaries [{'assembly', 'out', 'lengths' | 'error' | 'skipped'}].
@@ -103,7 +104,14 @@ def polish_batch(
     # so per-genome parse/fold threads only add contention and burn
     # extra total CPU (the range-split passes duplicate the run scans);
     # single-thread each genome when the pool provides the parallelism.
-    per_genome_threads = 1 if (workers or 2) > 1 and len(jobs) > 1 else None
+    # An explicit n_threads (the batch --threads flag) overrides this
+    # heuristic for operators with wide hosts and few jobs in flight.
+    if n_threads is not None:
+        per_genome_threads: Optional[int] = n_threads
+    else:
+        per_genome_threads = (
+            1 if (workers or 2) > 1 and len(jobs) > 1 else None
+        )
 
     def run_one(job):
         assembly, out_path, sams = job

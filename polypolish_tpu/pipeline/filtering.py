@@ -283,6 +283,14 @@ def get_insert_size_thresholds(
         )
     else:
         log.eprint(f"\nUser-specified correct orientation: {orientation}\n")
+        # An unknown orientation string maps to code -1, which selects
+        # an empty insert-size set below and dies with the reference's
+        # own downstream fatal ("no read pairs available to determine
+        # insert size thresholds").  This matches the reference exactly:
+        # filter.rs:232-234 passes any string through and
+        # filter.rs:174-176 errors on the empty vector that
+        # insert_sizes.remove(<unknown>) yields.  Pinned by
+        # tests/test_filter_e2e.py::test_filter_bad_orientation_string_fails.
         code = (
             ORIENTATION_NAMES.index(orientation)
             if orientation in ORIENTATION_NAMES

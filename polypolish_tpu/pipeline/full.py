@@ -30,10 +30,14 @@ def polish_paired(
     backend: str = "host",
     use_native: bool = True,
     n_threads: Optional[int] = None,
+    pod_shards: int = 0,
     keep_filtered: Optional[str] = None,
 ) -> List[Tuple[str, int]]:
     """Filter the pair, then polish with the filtered alignments.
 
+    pod_shards: when > 1, the polish stage runs with its SAM ingest
+    sharded over that many byte-range shards (the polish subcommand's
+    --pod-shards; byte-identical to unsharded).
     keep_filtered: optional directory to keep the filtered SAMs in
     (otherwise they live in a temp dir removed afterwards).
     """
@@ -49,6 +53,14 @@ def polish_paired(
     out2 = os.path.join(workdir, "filtered_2.sam")
     try:
         filter_pairs(in1, in2, out1, out2, orientation, low, high)
+        if pod_shards and pod_shards > 1:
+            from polypolish_tpu.pipeline.pod import polish_pod
+
+            return polish_pod(
+                debug, fraction_invalid, fraction_valid, max_errors,
+                min_depth, careful, assembly, [out1, out2], pod_shards,
+                out=out, n_threads=n_threads,
+            )
         return polish(
             debug, fraction_invalid, fraction_valid, max_errors, min_depth,
             careful, assembly, [out1, out2],

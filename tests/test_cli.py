@@ -110,3 +110,67 @@ def test_cli_version(capsys):
     with pytest.raises(SystemExit) as e:
         main(["--version"])
     assert e.value.code == 0
+
+
+def _write_case(tmp_path, seed=24, n_reads=400):
+    fasta, sam_text = synth.make_polish_case(seed=seed, n_reads=n_reads)
+    asm = tmp_path / "a.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "a.sam"
+    sam.write_text(sam_text)
+    return asm, sam
+
+
+def test_cli_batch_sharded_threads_kernel(tmp_path, capsys, monkeypatch):
+    """CLI surface parity (VERDICT r4 item 7): batch supports --backend
+    sharded, --threads, and --kernel-variant, and the output is
+    byte-identical to the equivalent single-genome polish run."""
+    monkeypatch.delenv("POLYPOLISH_TPU_KERNEL", raising=False)
+    asm, sam = _write_case(tmp_path)
+    rc = main(["polish", "--backend", "host", str(asm), str(sam)])
+    assert rc == 0
+    want = capsys.readouterr().out
+
+    out = tmp_path / "out.fasta"
+    manifest = tmp_path / "m.tsv"
+    manifest.write_text(f"{asm}\t{out}\t{sam}\n")
+    import polypolish_tpu.parallel.shard as shard_mod
+
+    shard_mod._STEP_CACHE.clear()
+    rc = main(["batch", "--backend", "sharded", "--threads", "2",
+               "--kernel-variant", "lanes", str(manifest)])
+    capsys.readouterr()
+    assert rc == 0
+    assert out.read_text() == want
+    # the flagship SPMD path actually ran (no silent fallback)
+    assert shard_mod._STEP_CACHE, "sharded batch never built the SPMD step"
+
+
+def test_cli_full_pod_shards_and_kernel_variant(tmp_path, capsys,
+                                                monkeypatch):
+    """full supports --pod-shards/--kernel-variant; the pod-sharded
+    ingest is byte-identical to the plain full run."""
+    monkeypatch.delenv("POLYPOLISH_TPU_KERNEL", raising=False)
+    import numpy as np
+
+    sam1, sam2 = synth.make_filter_case(seed=25, n_pairs=200)
+    in1, in2 = tmp_path / "i1.sam", tmp_path / "i2.sam"
+    in1.write_text(sam1)
+    in2.write_text(sam2)
+    # reconstruct the generator's genomes (same rng stream)
+    rng = np.random.default_rng(25)
+    fasta = [(c, "", synth.rand_seq(rng, 5000)) for c in ("c1", "c2")]
+    asm = tmp_path / "a.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+
+    rc = main(["full", "--in1", str(in1), "--in2", str(in2),
+               "--backend", "host", str(asm)])
+    assert rc == 0
+    want = capsys.readouterr().out
+
+    rc = main(["full", "--in1", str(in1), "--in2", str(in2),
+               "--backend", "host", "--pod-shards", "2",
+               "--kernel-variant", "lanes", str(asm)])
+    got = capsys.readouterr().out
+    assert rc == 0
+    assert got == want

@@ -112,7 +112,35 @@ def test_filter_input_validation(tmp_path):
         )
 
 
-def test_filter_bad_orientation_string_fails(tmp_path):
+def test_filter_bad_orientation_string_fails(tmp_path, capsys):
+    """Pinned behavior for a garbage --orientation string (VERDICT r4
+    item 8): exactly the reference's path — the string is echoed in the
+    'User-specified correct orientation' narrative (filter.rs:232-234),
+    then the run dies with the reference's downstream empty-size-vector
+    fatal (filter.rs:174-176), because an unknown orientation selects an
+    empty insert-size set just like a valid-but-absent one does."""
+    sam1, sam2 = synth.make_filter_case(seed=6, n_pairs=20)
+    in1 = tmp_path / "a.sam"
+    in2 = tmp_path / "b.sam"
+    in1.write_text(sam1)
+    in2.write_text(sam2)
+    with pytest.raises(
+        PolypolishError,
+        match="^no read pairs available to determine insert size "
+              "thresholds$",
+    ):
+        filter_pairs(
+            str(in1), str(in2), str(tmp_path / "o1"), str(tmp_path / "o2"),
+            orientation="xx",
+        )
+    err = capsys.readouterr().err
+    assert "User-specified correct orientation: xx" in err
+
+
+def test_filter_valid_orientation_with_no_pairs_same_fatal(tmp_path):
+    """A VALID --orientation with zero observed pairs of that geometry
+    dies with the same message (reference: remove() returns the empty
+    Vec either way, filter.rs:174-176)."""
     sam1, sam2 = synth.make_filter_case(seed=6, n_pairs=20)
     in1 = tmp_path / "a.sam"
     in2 = tmp_path / "b.sam"
@@ -121,5 +149,5 @@ def test_filter_bad_orientation_string_fails(tmp_path):
     with pytest.raises(PolypolishError, match="no read pairs available"):
         filter_pairs(
             str(in1), str(in2), str(tmp_path / "o1"), str(tmp_path / "o2"),
-            orientation="xx",
+            orientation="rr",
         )
