@@ -98,6 +98,15 @@ struct FastaRecord {
 std::vector<FastaRecord> load_fasta(const std::string& filename) {
   std::ifstream f(filename);
   if (!f) quit_with_error("unable to load \"" + filename + "\"");
+  {
+    // misc.rs:81-99 gzip sniff: read_exact of the first two bytes
+    // fails on a 0/1-byte file BEFORE any parsing ("is too small")
+    char magic[2];
+    if (!f.read(magic, 2))
+      quit_with_error("\"" + filename + "\" is too small");
+    f.clear();
+    f.seekg(0);
+  }
   std::vector<FastaRecord> out;
   std::string line, name, description, sequence;
   while (std::getline(f, line)) {
@@ -451,6 +460,14 @@ std::pair<std::string, int> get_read_seq_from_alignments(
 size_t process_one_read(std::vector<Alignment>& alignments,
                         std::unordered_map<std::string, Pileup>& pileups,
                         uint32_t max_errors, bool careful) {
+  // Deliberate divergence from the reference: on a SAM with zero
+  // aligned records the Rust binary calls this with an empty vec
+  // (alignment.rs:265) and PANICS at alignments.first().unwrap()
+  // (alignment.rs:318-320) before ever reaching its own
+  // "no alignments in" fatal (alignment.rs:268-270, dead code there).
+  // We skip the empty group so the intended clean fatal is reached —
+  // matching the framework.  Pinned by tests/test_fatal_parity.py.
+  if (alignments.empty()) return 0;
   if (careful && alignments.size() > 1) return 0;
   auto [read_seq, strand] = get_read_seq_from_alignments(alignments);
 
