@@ -28,6 +28,7 @@ import functools
 import io
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -246,6 +247,31 @@ def measure_chip_extras(args, asm, sams, ref_fasta):
             return {}
     except Exception:
         return {}
+    # Compiled-kernel pytest gate (VERDICT r4 item 2): run the @tpu
+    # chip tests (interpret=False, bitwise vs host fold) BEFORE any
+    # kernel capture, so a Mosaic lowering regression fails the bench
+    # session as a test failure instead of shipping a wrong number.
+    try:
+        eprint("TPU attached: compiled-kernel pytest gate (-m tpu) ...")
+        env = dict(os.environ, POLYPOLISH_TPU_CHIP_TESTS="1")
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/test_tpu_chip.py",
+             "-m", "tpu", "-q", "--no-header"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        tail = "\n".join(proc.stdout.strip().splitlines()[-2:])
+        eprint(f"  chip gate: {tail}")
+        extras["tpu_kernel_gate"] = (
+            "passed" if proc.returncode == 0 else "FAILED"
+        )
+        if proc.returncode != 0:
+            eprint(proc.stdout[-2000:])
+            eprint("  compiled-kernel chip gate FAILED; kernel capture "
+                   "aborted (host metric still reported)")
+            return extras
+    except Exception as e:
+        eprint(f"  chip gate skipped: {e!r}")
     try:
         from polypolish_tpu.ops import vote_lanes
 
