@@ -80,7 +80,8 @@ class _PPRunsView(ctypes.Structure):
         ("run_k", ctypes.POINTER(ctypes.c_int32)),
         ("n_runs", ctypes.c_int64),
         ("vocab_bytes", ctypes.POINTER(ctypes.c_uint8)),
-        ("n_events", ctypes.c_int64),
+        ("n_events", ctypes.c_int64),   # PHYSICAL vocab-byte count
+        ("run_poff", ctypes.POINTER(ctypes.c_int64)),
         ("ov_idx", ctypes.POINTER(ctypes.c_int64)),
         ("ov_vid", ctypes.POINTER(ctypes.c_int32)),
         ("n_overflow", ctypes.c_int64),
@@ -275,6 +276,12 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pp_free_runs.restype = None
         lib.pp_madvise_huge.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.pp_madvise_huge.restype = None
+        lib.pp_prof_enable.argtypes = [ctypes.c_int32]
+        lib.pp_prof_enable.restype = None
+        lib.pp_prof_read.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32
+        ]
+        lib.pp_prof_read.restype = None
         lib.pp_fold_window.restype = None
         lib.pp_fold_window.argtypes = [
             ctypes.POINTER(_PPRunsView),
@@ -316,6 +323,11 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.pp_free_fold.argtypes = [ctypes.POINTER(_PPFoldView)]
         lib.pp_free_fold.restype = None
+        lib.pp_sparse_contig.restype = ctypes.POINTER(_PPFoldView)
+        lib.pp_sparse_contig.argtypes = [
+            ctypes.POINTER(_PPRunsView),
+            ctypes.c_int32,                     # contig id
+        ]
         lib.pp_chunks_from_runs.restype = ctypes.POINTER(_PPChunks2View)
         lib.pp_chunks_from_runs.argtypes = [
             ctypes.POINTER(_PPRunsView),
@@ -602,6 +614,33 @@ def madvise_huge_np(*arrays) -> None:
     for a in arrays:
         if a is not None and a.nbytes >= (4 << 20):
             lib.pp_madvise_huge(ctypes.c_void_p(a.ctypes.data), a.nbytes)
+
+
+_PROF_SLOTS = (
+    "tokenize_cycles", "fill_cycles", "dispatch_cycles",
+    "reuse_cycles", "walk_cycles", "reuse_hits", "walked_alignments",
+    "sam_bytes", "fold_cycles", "fold_events", "parse_range_cycles",
+)
+
+
+def prof_enable(on: bool = True) -> None:
+    """Turn on the native noise-independent phase counters (rdtsc
+    cycles + event tallies; also enabled by POLYPOLISH_TPU_PROF=1)."""
+    lib = load_library()
+    if lib is not None:
+        lib.pp_prof_enable(1 if on else 0)
+
+
+def prof_read(reset: bool = True) -> dict:
+    """Read (and by default reset) the native phase counters.  Cycle
+    slots are raw TSC counts summed over threads; divide by a
+    calibrated TSC frequency for seconds-of-CPU."""
+    lib = load_library()
+    if lib is None:
+        return {}
+    buf = (ctypes.c_int64 * 16)()
+    lib.pp_prof_read(buf, 1 if reset else 0)
+    return {name: int(buf[i]) for i, name in enumerate(_PROF_SLOTS)}
 
 
 def _transfer_safe(s: str) -> str:

@@ -199,29 +199,25 @@ class ParsedRuns:
 
     def sparse(self, contig_name: str):
         """Sparse-tier counts (pos i64, vid i64, cnt i64, ascending) for
-        one contig WITHOUT a dense fold.  Valid because with a fresh
-        base vocab (<= DENSE_V strings) every sparse event travels via
-        the overflow list; falls back to fold() otherwise."""
+        one contig WITHOUT a dense fold (pp_sparse_contig — zero-copy-
+        aware: shared byte ranges count once per referencing run).
+        Valid because with a fresh base vocab (<= DENSE_V strings) every
+        sparse event travels via the overflow list; falls back to
+        fold() otherwise."""
         if self.base_vocab_len > DENSE_V:
             return self.fold(contig_name, want_counts=True)[2]
-        rc, rs, rl, rk, vb, ov_i, ov_v = self.raw()
-        empty = np.empty(0, dtype=np.int64)
-        if ov_i.size == 0:
-            return empty, empty, empty
-        off = np.concatenate(
-            ([0], np.cumsum(rl.astype(np.int64)))
-        )
-        run_idx = np.searchsorted(off, ov_i, side="right") - 1
         cid = self.contig_names.index(contig_name)
-        m = rc[run_idx] == cid
-        if not m.any():
-            return empty, empty, empty
-        ri = run_idx[m]
-        pos = rs.astype(np.int64)[ri] + (ov_i[m] - off[ri])
-        vid = ov_v[m].astype(np.int64)
-        keys = pos * (2**31) + vid
-        uk, cnt = np.unique(keys, return_counts=True)
-        return uk // (2**31), uk % (2**31), cnt
+        fv = self._lib.pp_sparse_contig(self._view, cid)
+        try:
+            f = fv.contents
+            n = int(f.n_sparse)
+            return (
+                _as_np(f.sp_pos, n, np.int64).copy(),
+                _as_np(f.sp_vid, n, np.int32).copy().astype(np.int64),
+                _as_np(f.sp_cnt, n, np.int32).copy().astype(np.int64),
+            )
+        finally:
+            self._lib.pp_free_fold(fv)
 
     def chunks(self, contig_name: str, tile_p: int, e_sub: int,
                n_threads: int = 0, num_positions: Optional[int] = None):
@@ -332,8 +328,11 @@ class ParsedRuns:
     # -- raw access (tests, sharded backend) ---------------------------
     def raw(self):
         """Zero-copy numpy views of the run arrays (valid until close):
-        (run_contig, run_start, run_len, run_k, vocab_bytes,
-        ov_idx, ov_vid)."""
+        (run_contig, run_start, run_len, run_k, vocab_bytes, ov_idx,
+        ov_vid, run_poff).  vocab_bytes is the PHYSICAL buffer: a run's
+        bytes live at run_poff[r] : run_poff[r]+run_len[r], and two
+        runs may share one range (zero-copy '*'-secondary reuse);
+        ov_idx holds physical byte indices."""
         v = self._view.contents
         return (
             _as_np(v.run_contig, v.n_runs, np.int32),
@@ -343,21 +342,24 @@ class ParsedRuns:
             _as_np(v.vocab_bytes, v.n_events, np.uint8),
             _as_np(v.ov_idx, v.n_overflow, np.int64),
             _as_np(v.ov_vid, v.n_overflow, np.int32),
+            _as_np(v.run_poff, v.n_runs, np.int64),
         )
 
     def events(self, contig_name: Optional[str] = None):
         """Expand runs to the legacy (pos i64, vid i32, weight f64)
         event arrays in stream order (optionally one contig's)."""
-        rc, rs, rl, rk, vb, ov_i, ov_v = self.raw()
-        vid = vb.astype(np.int32)
+        rc, rs, rl, rk, vb, ov_i, ov_v, poff = self.raw()
+        vbid = vb.astype(np.int32)
         if ov_i.size:
-            vid[ov_i] = ov_v
+            vbid[ov_i] = ov_v
+        # logical event -> run index, then gather through the physical
+        # per-run offsets (shared ranges gather the same bytes)
         ends = np.cumsum(rl.astype(np.int64))
         starts = ends - rl
-        # event -> run index
         run_of = np.repeat(np.arange(rc.size, dtype=np.int64), rl)
-        pos = rs.astype(np.int64)[run_of] + \
-            (np.arange(vid.size, dtype=np.int64) - starts[run_of])
+        in_run = np.arange(run_of.size, dtype=np.int64) - starts[run_of]
+        vid = vbid[poff[run_of] + in_run]
+        pos = rs.astype(np.int64)[run_of] + in_run
         weight = (1.0 / rk.astype(np.float64))[run_of]
         if contig_name is None:
             return pos, vid, weight

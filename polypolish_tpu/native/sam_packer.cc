@@ -23,6 +23,7 @@
 
 #include <algorithm>
 #include <array>
+#include <atomic>
 #include <cctype>
 #include <cmath>
 #include <cerrno>
@@ -43,6 +44,36 @@
 #include <vector>
 
 namespace {
+
+// ---------------------------------------------------------------------
+// Noise-independent phase counters (cycle counts from rdtsc + plain
+// event tallies).  The microVM hosts show 2-5x wall-clock variance, so
+// bench regressions hide inside "host weather"; counted cycles/bytes/
+// events per phase are stable across that noise.  Zero overhead unless
+// POLYPOLISH_TPU_PROF=1 (one predictable branch per call site).
+// Slots (pp_prof):
+//   0 tokenize cycles (scan_line)   1 field-parse cycles (fill_aln)
+//   2 group-dispatch cycles         3 reuse-hit cycles (subset of 2)
+//   4 CIGAR-walk+emit cycles (subset of 2)
+//   5 reuse hits                    6 walked alignments
+//   7 parsed SAM bytes              8 fold cycles
+//   9 fold events                  10 parse wall cycles (per range)
+// ---------------------------------------------------------------------
+bool g_prof = false;
+std::atomic<int64_t> g_prof_counters[16];
+
+inline uint64_t prof_tsc() { return g_prof ? __rdtsc() : 0; }
+
+struct ProfLocal {
+  int64_t c[16] = {0};
+  void flush() {
+    for (int i = 0; i < 16; ++i)
+      if (c[i]) {
+        g_prof_counters[i].fetch_add(c[i], std::memory_order_relaxed);
+        c[i] = 0;
+      }
+  }
+};
 
 struct Result {
   std::vector<int32_t> contig_id;
@@ -91,6 +122,13 @@ char kRevComp[256];
 char kUpper[256];
 
 void init_tables() {
+  {
+    static std::once_flag prof_once;
+    std::call_once(prof_once, [] {
+      const char* e = getenv("POLYPOLISH_TPU_PROF");
+      if (e && e[0] == '1') g_prof = true;
+    });
+  }
   for (int i = 0; i < 256; ++i) kRevComp[i] = 'N';
   const char* from = "ATGCatgcNnRYSWKMBVDHryswkmbvdh.-?";
   const char* to = "TACGtacgNnYRSWMKVBHDyrswmkvbhd.-?";
@@ -199,6 +237,7 @@ struct WorkerBase {
   Result res;
   Interner interner;
   std::vector<std::string> new_strings;
+  ProfLocal prof;                   // per-thread phase counters
   int64_t err_line = INT64_MAX;     // for deterministic error selection
 
   void prepare() {}                 // post-interner-init hook
@@ -269,6 +308,11 @@ using ByteVec = std::vector<uint8_t, default_init_alloc<uint8_t>>;
 
 struct RunsWorker : WorkerBase {
   std::vector<int32_t> run_contig, run_start, run_len, run_k;
+  std::vector<int64_t> run_poff;  // PHYSICAL byte offset of each run's
+  // vocab bytes in this worker's vbytes (round 5: '*'-secondary reuse
+  // hits REFERENCE the cached range instead of copying it, so offsets
+  // are explicit and non-monotone; the logical event stream remains
+  // run_len-cumulative)
   ByteVec vbytes;
   std::vector<std::pair<int64_t, int32_t>> overflow;  // (local evt idx, vid)
   uint8_t lut8[256];   // raw seq byte (case-folded) -> vocab byte; 255 = slow
@@ -292,14 +336,14 @@ struct RunsWorker : WorkerBase {
 // Process one read group (consecutive aligned SAM lines, same name).
 // Reference: alignment.rs:275-305.  line_no = last parsed line (errors).
 template <class W>
-bool process_group(W& w, std::vector<Aln>& group, int64_t line_no) {
+bool process_group(W& w, Aln* group, size_t gn, int64_t line_no) {
   const Shared& sh = *w.sh;
   Result& res = w.res;
-  if (sh.careful && group.size() > 1) return true;
+  if (sh.careful && gn > 1) return true;
 
   const Aln* primary = nullptr;
-  for (const Aln& a : group) {
-    if (a.seq_raw != "*") { primary = &a; break; }
+  for (size_t gi = 0; gi < gn; ++gi) {
+    if (group[gi].seq_raw != "*") { primary = &group[gi]; break; }
   }
   if (!primary) {
     return w.fail("no alignments for read " + std::string(group[0].read_name) +
@@ -311,7 +355,8 @@ bool process_group(W& w, std::vector<Aln>& group, int64_t line_no) {
   bool primary_fwd = primary->forward();
 
   int n_good = 0;
-  for (Aln& a : group) {
+  for (size_t gi = 0; gi < gn; ++gi) {
+    Aln& a = group[gi];
     a.good = starts_and_ends_with_match(a.cigar) &&
              a.mismatches <= sh.max_errors && a.pass_qc;
     if (a.good) ++n_good;
@@ -320,7 +365,8 @@ bool process_group(W& w, std::vector<Aln>& group, int64_t line_no) {
   res.used_count += n_good;
 
   std::vector<std::pair<int32_t, int32_t>> ranges;
-  for (Aln& a : group) {
+  for (size_t gi = 0; gi < gn; ++gi) {
+    Aln& a = group[gi];
     if (!a.good) continue;
     if (a.seq_raw == "*") {
       a.seq_owned = (a.forward() == primary_fwd) ? primary_seq
@@ -438,15 +484,15 @@ bool process_group(W& w, std::vector<Aln>& group, int64_t line_no) {
 // Differentially tested against the Python packer, the generic
 // process_group<Worker>, and ppref (tests/test_native.py,
 // tests/test_replica_differential.py).
-bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
+bool process_group_runs(RunsWorker& w, Aln* group, size_t gn,
                         int64_t line_no) {
   const Shared& sh = *w.sh;
   Result& res = w.res;
-  if (sh.careful && group.size() > 1) return true;
+  if (sh.careful && gn > 1) return true;
 
   const Aln* primary = nullptr;
-  for (const Aln& a : group) {
-    if (a.seq_raw != "*") { primary = &a; break; }
+  for (size_t gi = 0; gi < gn; ++gi) {
+    if (group[gi].seq_raw != "*") { primary = &group[gi]; break; }
   }
   if (!primary) {
     return w.fail("no alignments for read " + std::string(group[0].read_name) +
@@ -457,7 +503,8 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
   std::string primary_seq;  // materialised lazily ('*' secondaries only)
 
   int n_good = 0;
-  for (Aln& a : group) {
+  for (size_t gi = 0; gi < gn; ++gi) {
+    Aln& a = group[gi];
     a.good = starts_and_ends_with_match(a.cigar) &&
              a.mismatches <= sh.max_errors && a.pass_qc;
     if (a.good) ++n_good;
@@ -477,10 +524,11 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
   struct RunReuse {
     bool valid = false;
     std::string_view cigar;
-    size_t mark = 0, new_count = 0, ov_lo = 0, ov_hi = 0;
+    size_t mark = 0, new_count = 0;
   } reuse_cache[2];
 
-  for (Aln& a : group) {
+  for (size_t gi = 0; gi < gn; ++gi) {
+    Aln& a = group[gi];
     if (!a.good) continue;
     const bool is_star = (a.seq_raw == "*");
     const int slot = (a.forward() == primary_fwd) ? 0 : 1;
@@ -502,6 +550,7 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
 
     if (is_star && reuse_cache[slot].valid &&
         reuse_cache[slot].cigar == a.cigar) {
+      const uint64_t tr = prof_tsc();
       const RunReuse& rc = reuse_cache[slot];
       if (rc.new_count == 0) continue;  // fully trimmed, nothing emitted
       int64_t end_pos = a.ref_start + (int64_t)rc.new_count;
@@ -511,21 +560,23 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
                           std::string(a.ref_name),
                       line_no);
       }
-      const size_t base = w.vbytes.size();
-      w.vbytes.resize(base + rc.new_count);
-      memcpy(w.vbytes.data() + base, w.vbytes.data() + rc.mark,
-             rc.new_count);
-      for (size_t q = rc.ov_lo; q < rc.ov_hi; ++q)
-        w.overflow.emplace_back(
-            (int64_t)base + (w.overflow[q].first - (int64_t)rc.mark),
-            w.overflow[q].second);
+      // ZERO-COPY reuse (round 5): the run header simply POINTS at the
+      // cached byte range (identical vid bytes by the purity argument
+      // above) — no byte copy, no overflow duplication.  Consumers read
+      // through run_poff; repeat loci read one shared, cache-hot range.
       w.run_contig.push_back(contig);
       w.run_start.push_back((int32_t)a.ref_start);
       w.run_len.push_back((int32_t)rc.new_count);
       w.run_k.push_back(n_good);
+      w.run_poff.push_back((int64_t)rc.mark);
+      if (g_prof) {
+        w.prof.c[3] += (int64_t)(__rdtsc() - tr);
+        ++w.prof.c[5];
+      }
       continue;
     }
 
+    const uint64_t tw = prof_tsc();
     const char* seq;
     size_t seq_len;
     if (is_star) {
@@ -704,8 +755,7 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
     // (primary +/- revcomp by construction) — other non-'*' records
     // could carry arbitrary seqs, so they never seed the cache
     if (is_star || &a == primary) {
-      reuse_cache[slot] = RunReuse{
-          true, a.cigar, mark, new_count, ov_mark, w.overflow.size()};
+      reuse_cache[slot] = RunReuse{true, a.cigar, mark, new_count};
     }
     if (new_count == 0) continue;
 
@@ -720,16 +770,21 @@ bool process_group_runs(RunsWorker& w, std::vector<Aln>& group,
     w.run_start.push_back((int32_t)a.ref_start);
     w.run_len.push_back((int32_t)new_count);
     w.run_k.push_back(n_good);
+    w.run_poff.push_back((int64_t)mark);
+    if (g_prof) {
+      w.prof.c[4] += (int64_t)(__rdtsc() - tw);
+      ++w.prof.c[6];
+    }
   }
   return true;
 }
 
 template <class W>
-inline bool dispatch_group(W& w, std::vector<Aln>& group, int64_t line_no) {
+inline bool dispatch_group(W& w, Aln* group, size_t n, int64_t line_no) {
   if constexpr (std::is_same_v<W, RunsWorker>)
-    return process_group_runs(w, group, line_no);
+    return process_group_runs(w, group, n, line_no);
   else
-    return process_group(w, group, line_no);
+    return process_group(w, group, n, line_no);
 }
 
 // Split one line into tab-separated fields AND find its end in a
@@ -879,7 +934,13 @@ void run_range(W& w, size_t begin, size_t hard_end,
   std::string_view data = sh.data;
   Result& res = w.res;
 
+  // Slot-reusing group buffer: each line parses into group[gn] in
+  // place; closing a group processes group[0..gn) and swaps the new
+  // line's slot to the front.  Aln slots (and their seq_owned string
+  // capacities) are recycled across groups — the per-line
+  // construct/destruct churn was ~20% of the parse loop.
   std::vector<Aln> group;
+  size_t gn = 0;
   std::string_view current_name;
   bool skipping = !prev_name.empty();
   int64_t line_no = start_line_no;
@@ -887,12 +948,15 @@ void run_range(W& w, size_t begin, size_t hard_end,
 
   const char* fields[256];
   size_t flens[256];
+  const uint64_t range_t0 = prof_tsc();
   while (off < data.size()) {
-    if (off >= hard_end && group.empty()) break;
+    if (off >= hard_end && gn == 0) break;
     int nf;
     size_t advance;
+    const uint64_t t0 = prof_tsc();
     size_t llen = scan_line(data.data() + off, data.size() - off, fields,
                             flens, &nf, &advance);
+    if (g_prof) w.prof.c[0] += (int64_t)(__rdtsc() - t0);
     ++line_no;
     const char* line = data.data() + off;
     size_t line_start = off;
@@ -900,16 +964,21 @@ void run_range(W& w, size_t begin, size_t hard_end,
     if (llen == 0) continue;
     if (line[0] == '@') continue;
 
-    Aln a;
-    if (!fill_aln(w, fields, flens, nf, line_no, a)) return;
+    if (gn >= group.size()) group.emplace_back();
+    Aln& a = group[gn];
+    a.seq_owned.clear();
+    const uint64_t t1 = prof_tsc();
+    bool fill_ok = fill_aln(w, fields, flens, nf, line_no, a);
+    if (g_prof) w.prof.c[1] += (int64_t)(__rdtsc() - t1);
+    if (!fill_ok) return;
     if (!a.aligned()) continue;
 
     if (skipping) {
       if (a.read_name == prev_name) continue;  // previous range's group
       skipping = false;
     }
-    if (line_start >= hard_end && group.empty()) break;
-    if (line_start >= hard_end && !group.empty() &&
+    if (line_start >= hard_end && gn == 0) break;
+    if (line_start >= hard_end && gn != 0 &&
         a.read_name != current_name) {
       // open group closed by a new name beyond our range: finish it and
       // stop — the new group belongs to the next range
@@ -917,20 +986,34 @@ void run_range(W& w, size_t begin, size_t hard_end,
     }
 
     ++res.alignment_count;
+    // exactly alignment.rs:255-263: an empty current name absorbs the
+    // next line into the open group (do NOT test gn here — an
+    // empty-QNAME group must keep absorbing, as in the reference)
     if (current_name.empty() || current_name == a.read_name) {
       current_name = a.read_name;
-      group.push_back(std::move(a));
+      ++gn;
     } else {
-      if (!dispatch_group(w, group, line_no)) return;
+      const uint64_t t2 = prof_tsc();
+      bool ok = dispatch_group(w, group.data(), gn, line_no);
+      if (g_prof) w.prof.c[2] += (int64_t)(__rdtsc() - t2);
+      if (!ok) return;
       ++res.read_count;
-      group.clear();
       current_name = a.read_name;
-      group.push_back(std::move(a));
+      std::swap(group[0], group[gn]);  // new group's first Aln -> front
+      gn = 1;
     }
   }
-  if (!group.empty()) {
-    if (!dispatch_group(w, group, line_no)) return;
+  if (gn != 0) {
+    const uint64_t t2 = prof_tsc();
+    bool ok = dispatch_group(w, group.data(), gn, line_no);
+    if (g_prof) w.prof.c[2] += (int64_t)(__rdtsc() - t2);
+    if (!ok) return;
     ++res.read_count;
+  }
+  if (g_prof) {
+    w.prof.c[7] += (int64_t)(off - begin);
+    w.prof.c[10] += (int64_t)(__rdtsc() - range_t0);
+    w.prof.flush();
   }
 }
 
@@ -1122,15 +1205,20 @@ void run_parallel(Shared& sh, Result* out, int n_threads) {
 
 struct RunsResult {
   std::vector<int32_t> run_contig, run_start, run_len, run_k;
-  std::vector<uint8_t> vbytes;      // per-event vocab id; 255 = overflow
-  std::vector<int64_t> ov_idx;      // global event index (ascending)
+  std::vector<uint8_t> vbytes;      // PHYSICAL vocab bytes; 255 = overflow
+  std::vector<int64_t> run_poff;    // physical byte offset per run (zero-
+  // copy '*'-secondary reuse makes these non-monotone and shared: two
+  // runs may reference the same byte range — equal-or-disjoint ranges)
+  std::vector<int64_t> ov_idx;      // PHYSICAL byte index (ascending,
+  // one entry per 255 byte; shared by every run referencing the range)
   std::vector<int32_t> ov_vid;      // its (merged) vocab id
   std::string new_vocab;            // '\n'-joined, ids n_base..
   int64_t n_new_vocab = 0;
   int32_t n_base_vocab = 0;
   std::vector<int64_t> f_aln, f_used, f_reads;  // per input file
   std::vector<int64_t> f_runs, f_events;        // per-file segment sizes
-  std::vector<int64_t> run_evt_off;  // cumulative event offset per run
+  std::vector<int64_t> run_evt_off;  // LOGICAL cumulative event offset
+  // per run (sum of run_len; thread splits balance on this)
   int status = 0;
   std::string error;
 
@@ -1143,7 +1231,7 @@ struct RunsResult {
   // themselves a DRAM miss per run).  Valid because integer vote adds
   // commute — only depth (separate pass) is order-sensitive.
   struct SortedRun {
-    int64_t evt_off;
+    int64_t evt_off;  // PHYSICAL byte offset (run_poff of the run)
     int32_t start;
     int32_t len;
   };
@@ -1220,7 +1308,7 @@ struct RunsResult {
       int32_t cur = -1;
       for (size_t i = 0; i < n; ++i) {
         int32_t r = keyed[i].second;
-        sruns[i] = {run_evt_off[r], run_start[r], run_len[r]};
+        sruns[i] = {run_poff[r], run_start[r], run_len[r]};
         max_run_len = std::max(max_run_len, run_len[r]);
         int32_t c = run_contig[r];
         if (c != cur) {
@@ -1252,6 +1340,7 @@ void merge_runs(RunsResult* out, std::vector<RunsWorker>& workers,
   out->run_start.reserve(out->run_start.size() + add_runs);
   out->run_len.reserve(out->run_len.size() + add_runs);
   out->run_k.reserve(out->run_k.size() + add_runs);
+  out->run_poff.reserve(out->run_poff.size() + add_runs);
   out->vbytes.reserve(out->vbytes.size() + add_bytes);
   madvise_huge(out->vbytes.data(), out->vbytes.capacity());
   out->ov_idx.reserve(out->ov_idx.size() + add_ov);
@@ -1283,6 +1372,7 @@ void merge_runs(RunsResult* out, std::vector<RunsWorker>& workers,
     out->run_len.insert(out->run_len.end(), w.run_len.begin(),
                         w.run_len.end());
     out->run_k.insert(out->run_k.end(), w.run_k.begin(), w.run_k.end());
+    for (int64_t p : w.run_poff) out->run_poff.push_back(byte_base + p);
     out->vbytes.insert(out->vbytes.end(), w.vbytes.begin(), w.vbytes.end());
     for (auto& [idx, vid] : w.overflow) {
       out->ov_idx.push_back(byte_base + idx);
@@ -1772,10 +1862,10 @@ int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
         w.run_start.reserve(nruns);
         w.run_len.reserve(nruns);
         w.run_k.reserve(nruns);
+        w.run_poff.reserve(nruns);
       }
     }
     size_t runs_before = out->run_contig.size();
-    size_t events_before = out->vbytes.size();
     int bad = run_workers(sh, workers, lo, hi);
     if (bad >= 0) {
       out->status = 1;
@@ -1800,9 +1890,16 @@ int parse_runs_impl(RunsResult* out, const std::string& filenames_blob,
     out->f_reads.push_back(reads);
     merge_runs(out, workers, global_new);
     out->f_runs.push_back((int64_t)(out->run_contig.size() - runs_before));
-    out->f_events.push_back((int64_t)(out->vbytes.size() - events_before));
+    {
+      // LOGICAL events for this file (zero-copy reuse makes the
+      // physical vbytes delta an undercount)
+      int64_t ev = 0;
+      for (size_t r = runs_before; r < out->run_contig.size(); ++r)
+        ev += out->run_len[r];
+      out->f_events.push_back(ev);
+    }
   }
-  // cumulative event offsets (fold/chunks walk these)
+  // cumulative LOGICAL event offsets (thread splits balance on these)
   out->run_evt_off.resize(out->run_contig.size() + 1);
   int64_t off = 0;
   for (size_t r = 0; r < out->run_contig.size(); ++r) {
@@ -2022,6 +2119,123 @@ void fold_counts_range(RunsResult& rr, int32_t contig, int64_t P,
   }
 }
 
+// uint16 twin of fold_counts_range (round 5): counts accumulate into a
+// SATURATING u16 staging tensor — half the masked-add sub-blocks and
+// half the L1 write traffic per 64-event block — then widen into the
+// caller's int32 tensor.  Saturation (a (pos, vocab) pair with 65535+
+// votes) is detected at widen time and the affected range re-folds
+// through the exact int32 path, so results are always exact.
+void fold_counts_range_u16(RunsResult& rr, int32_t contig, int64_t P,
+                           int64_t pos_lo, int64_t pos_hi,
+                           uint16_t* stage,
+                           std::unordered_map<int64_t, int32_t>& sparse) {
+  for (int v = 0; v < kDenseVNative; ++v)
+    memset(stage + (size_t)v * (size_t)P + (size_t)pos_lo, 0,
+           (size_t)(pos_hi - pos_lo) * sizeof(uint16_t));
+  rr.prepare_sorted();
+  int64_t lo = 0, hi = 0;
+  if (contig >= 0 && (size_t)contig < rr.contig_slices.size()) {
+    lo = rr.contig_slices[(size_t)contig].first;
+    hi = rr.contig_slices[(size_t)contig].second;
+  }
+  const int64_t min_start = pos_lo - (int64_t)rr.max_run_len;
+  lo = std::lower_bound(rr.sruns.begin() + lo, rr.sruns.begin() + hi,
+                        min_start,
+                        [](const RunsResult::SortedRun& s, int64_t v) {
+                          return (int64_t)s.start < v;
+                        }) -
+       rr.sruns.begin();
+  const uint8_t* all_vb = rr.vbytes.data();
+  constexpr int64_t kPF = 10;
+  for (int64_t i = lo; i < hi; ++i) {
+    if (i + kPF < hi) {
+      const char* pv = (const char*)(all_vb + rr.sruns[i + kPF].evt_off);
+      _mm_prefetch(pv, _MM_HINT_T0);
+      _mm_prefetch(pv + 64, _MM_HINT_T0);
+      _mm_prefetch(pv + 128, _MM_HINT_T0);
+    }
+    const RunsResult::SortedRun& sr = rr.sruns[(size_t)i];
+    if ((int64_t)sr.start >= pos_hi) break;
+    const int32_t clip_lo =
+        (int32_t)std::max<int64_t>(0, pos_lo - (int64_t)sr.start);
+    const int32_t clip_hi = (int32_t)std::min<int64_t>(
+        (int64_t)sr.len, pos_hi - (int64_t)sr.start);
+    if (clip_lo >= clip_hi) continue;
+    const int64_t base = sr.evt_off + clip_lo;
+    const int32_t n = clip_hi - clip_lo;
+    const int64_t start = (int64_t)sr.start + clip_lo;
+    const uint8_t* vb = all_vb + base;
+    int32_t j = 0;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+    const __m512i ones16 = _mm512_set1_epi16(1);
+    const __m512i eight8 = _mm512_set1_epi8(8);
+    for (; j + 64 <= n; j += 64) {
+      __m512i bytes = _mm512_loadu_si512((const void*)(vb + j));
+      for (int v = 0; v < kDenseVNative; ++v) {
+        __mmask64 m =
+            _mm512_cmpeq_epi8_mask(bytes, _mm512_set1_epi8((char)v));
+        if (!m) continue;
+        uint16_t* rowp =
+            stage + (size_t)v * (size_t)P + (size_t)(start + j);
+        for (int q = 0; q < 2; ++q) {
+          __mmask32 mq = (__mmask32)(m >> (32 * q));
+          if (!mq) continue;
+          __m512i c = _mm512_loadu_si512((const void*)(rowp + 32 * q));
+          c = _mm512_mask_adds_epu16(c, mq, c, ones16);
+          _mm512_storeu_si512((void*)(rowp + 32 * q), c);
+        }
+      }
+      __mmask64 rare = _mm512_cmpge_epu8_mask(bytes, eight8);
+      while (rare) {
+        int k = (int)_tzcnt_u64((uint64_t)rare);
+        rare &= rare - 1;
+        fold_rare_byte(rr, vb[j + k], base, j + k, start, sparse);
+      }
+    }
+#endif
+    for (; j < n; ++j) {
+      uint8_t b = vb[j];
+      if (b < kDenseVNative) {
+        uint16_t& c = stage[(size_t)b * (size_t)P + (size_t)(start + j)];
+        if (c != 0xFFFF) ++c;
+      } else {
+        fold_rare_byte(rr, b, base, j, start, sparse);
+      }
+    }
+  }
+}
+
+// Widen the u16 staging rows into the int32 output; returns true when
+// no lane saturated (results exact), false when the caller must
+// re-fold this range through the int32 path.
+bool widen_counts_u16(const uint16_t* stage, int64_t P, int64_t pos_lo,
+                      int64_t pos_hi, int32_t* counts_out) {
+  bool sat = false;
+  for (int v = 0; v < kDenseVNative; ++v) {
+    const uint16_t* src = stage + (size_t)v * (size_t)P;
+    int32_t* dst = counts_out + (size_t)v * (size_t)P;
+    int64_t p = pos_lo;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+    const __m512i satv = _mm512_set1_epi16((short)0xFFFF);
+    for (; p + 32 <= pos_hi; p += 32) {
+      __m512i s = _mm512_loadu_si512((const void*)(src + p));
+      if (_mm512_cmpeq_epi16_mask(s, satv)) sat = true;
+      __m256i lo256 = _mm512_castsi512_si256(s);
+      __m256i hi256 = _mm512_extracti64x4_epi64(s, 1);
+      _mm512_storeu_si512((void*)(dst + p),
+                          _mm512_cvtepu16_epi32(lo256));
+      _mm512_storeu_si512((void*)(dst + p + 16),
+                          _mm512_cvtepu16_epi32(hi256));
+    }
+#endif
+    for (; p < pos_hi; ++p) {
+      if (src[p] == 0xFFFF) sat = true;
+      dst[p] = src[p];
+    }
+  }
+  return !sat;
+}
+
 // Append one sparse map's entries to the FoldBuffers in ascending key
 // order.  Position-disjoint maps appended low-range-first keep the
 // whole triple list ascending (keys are position-major).
@@ -2045,9 +2259,67 @@ void fold_counts(RunsResult& rr, int32_t contig, int64_t P,
   sparse_to_buffers(sparse, fb);
 }
 
+// Small freelist of u16 staging tensors (concurrent pp_fold_contig
+// calls from batch-mode worker threads must not share one buffer; the
+// two position-disjoint halves WITHIN a call do share it).
+struct U16StagePool {
+  std::mutex mu;
+  std::vector<std::pair<size_t, uint16_t*>> free_bufs;
+
+  uint16_t* get(size_t n_elems) {
+    {
+      std::lock_guard<std::mutex> g(mu);
+      for (size_t i = 0; i < free_bufs.size(); ++i) {
+        if (free_bufs[i].first >= n_elems) {
+          uint16_t* p = free_bufs[i].second;
+          free_bufs.erase(free_bufs.begin() + (long)i);
+          return p;
+        }
+      }
+    }
+    uint16_t* p = (uint16_t*)malloc(n_elems * sizeof(uint16_t));
+    if (p) madvise_huge(p, n_elems * sizeof(uint16_t));
+    return p;
+  }
+  void put(size_t n_elems, uint16_t* p) {
+    if (!p) return;
+    std::lock_guard<std::mutex> g(mu);
+    if (free_bufs.size() >= 4) {  // bound pool growth in batch mode
+      free(p);
+      return;
+    }
+    free_bufs.emplace_back(n_elems, p);
+  }
+};
+U16StagePool g_u16_pool;
+
+// u16 staging is a win while the tensor fits comfortably (bacterial-
+// genome scale); huge contigs go through the windowed paths anyway.
+constexpr int64_t kU16FoldMaxP = 8'000'000;
+
+bool u16_fold_enabled() {
+  static const bool on = [] {
+    const char* e = getenv("POLYPOLISH_TPU_U16_FOLD");
+    return !(e && e[0] == '0');
+  }();
+  return on;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Noise-independent phase counters (see g_prof_counters above).
+// enable() turns collection on (idempotent); read() copies the 16
+// slots into out and optionally resets them.  TSC -> seconds is the
+// caller's job (calibrate once against a wall-clock sleep).
+void pp_prof_enable(int32_t on) { g_prof = (on != 0); }
+void pp_prof_read(int64_t* out, int32_t reset) {
+  for (int i = 0; i < 16; ++i) {
+    out[i] = g_prof_counters[i].load(std::memory_order_relaxed);
+    if (reset) g_prof_counters[i].store(0, std::memory_order_relaxed);
+  }
+}
 
 struct PPResultView {
   const int32_t* contig_id;
@@ -2938,8 +3210,9 @@ struct PPRunsView {
   const int32_t* run_len;
   const int32_t* run_k;
   int64_t n_runs;
-  const uint8_t* vocab_bytes;
-  int64_t n_events;
+  const uint8_t* vocab_bytes;  // PHYSICAL byte buffer (shared ranges)
+  int64_t n_events;            // physical byte count (= len(vocab_bytes))
+  const int64_t* run_poff;     // physical byte offset per run
   const int64_t* ov_idx;
   const int32_t* ov_vid;
   int64_t n_overflow;
@@ -3022,6 +3295,7 @@ PPRunsView* pp_parse_runs(const char* filenames, int64_t n_files,
   view->n_runs = (int64_t)rr->run_contig.size();
   view->vocab_bytes = rr->vbytes.data();
   view->n_events = (int64_t)rr->vbytes.size();
+  view->run_poff = rr->run_poff.data();
   view->ov_idx = rr->ov_idx.data();
   view->ov_vid = rr->ov_vid.data();
   view->n_overflow = (int64_t)rr->ov_idx.size();
@@ -3092,6 +3366,7 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
   auto* view = new PPFoldView();
   memset(view, 0, sizeof(*view));
   view->handle = fb;
+  const uint64_t prof_t0 = prof_tsc();
 
   auto depth_and_thresholds = [&]() {
     fold_depth(*rr, contig, P, depth_out);
@@ -3138,6 +3413,10 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
         }
       }
     }
+    uint16_t* stage =
+        (u16_fold_enabled() && P > 0 && P <= kU16FoldMaxP)
+            ? g_u16_pool.get((size_t)kDenseVNative * (size_t)P)
+            : nullptr;
     std::unordered_map<int64_t, int32_t> sp_a, sp_b;
     auto half = [&](int64_t lo, int64_t hi,
                     std::unordered_map<int64_t, int32_t>& sp) {
@@ -3147,21 +3426,56 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
                               fraction_valid, fraction_invalid,
                               valid_out + lo, invalid_out + lo,
                               low_out + lo);
-      fold_counts_range(*rr, contig, P, lo, hi, counts_out, sp);
+      if (stage) {
+        fold_counts_range_u16(*rr, contig, P, lo, hi, stage, sp);
+        if (!widen_counts_u16(stage, P, lo, hi, counts_out)) {
+          sp.clear();  // saturated: exact re-fold of this range
+          fold_counts_range(*rr, contig, P, lo, hi, counts_out, sp);
+        }
+      } else {
+        fold_counts_range(*rr, contig, P, lo, hi, counts_out, sp);
+      }
     };
     std::thread td([&]() { half(mid, P, sp_b); });
     half(0, mid, sp_a);
     td.join();
+    if (stage) g_u16_pool.put((size_t)kDenseVNative * (size_t)P, stage);
     sparse_to_buffers(sp_a, fb);
     sparse_to_buffers(sp_b, fb);
   } else {
     depth_and_thresholds();
-    if (counts_out) fold_counts(*rr, contig, P, counts_out, fb);
+    if (counts_out) {
+      uint16_t* stage =
+          (u16_fold_enabled() && P > 0 && P <= kU16FoldMaxP)
+              ? g_u16_pool.get((size_t)kDenseVNative * (size_t)P)
+              : nullptr;
+      if (stage) {
+        std::unordered_map<int64_t, int32_t> sparse;
+        fold_counts_range_u16(*rr, contig, P, 0, P, stage, sparse);
+        if (!widen_counts_u16(stage, P, 0, P, counts_out)) {
+          sparse.clear();
+          fold_counts_range(*rr, contig, P, 0, P, counts_out, sparse);
+        }
+        g_u16_pool.put((size_t)kDenseVNative * (size_t)P, stage);
+        sparse_to_buffers(sparse, fb);
+      } else {
+        fold_counts(*rr, contig, P, counts_out, fb);
+      }
+    }
   }
   view->sp_pos = fb->sp_pos.data();
   view->sp_vid = fb->sp_vid.data();
   view->sp_cnt = fb->sp_cnt.data();
   view->n_sparse = (int64_t)fb->sp_pos.size();
+  if (g_prof) {
+    g_prof_counters[8].fetch_add((int64_t)(__rdtsc() - prof_t0),
+                                 std::memory_order_relaxed);
+    int64_t ev = 0;
+    const size_t n_runs = rr->run_contig.size();
+    for (size_t r = 0; r < n_runs; ++r)
+      if (rr->run_contig[r] == contig) ev += rr->run_len[r];
+    g_prof_counters[9].fetch_add(ev, std::memory_order_relaxed);
+  }
   return view;
 }
 
@@ -3169,6 +3483,46 @@ void pp_free_fold(PPFoldView* view) {
   if (!view) return;
   delete static_cast<FoldBuffers*>(view->handle);
   delete view;
+}
+
+// Sparse-tier triples for one contig WITHOUT a dense fold (the
+// windowed paths call this once, outside the window loop).  Valid
+// under the same precondition as the old Python fast path: with a
+// fresh base vocab (<= 8 strings) every sparse event is a 255 byte
+// with an overflow entry.  Zero-copy-aware: each run's entries are
+// looked up by its PHYSICAL byte range, so a shared range's entries
+// count once per referencing run (each with that run's positions) —
+// exactly pileup.rs:56-65 semantics.
+PPFoldView* pp_sparse_contig(PPRunsView* runs, int32_t contig) {
+  auto* rr = static_cast<RunsResult*>(runs->handle);
+  auto* fb = new FoldBuffers();
+  auto* view = new PPFoldView();
+  memset(view, 0, sizeof(*view));
+  view->handle = fb;
+  const int64_t n_ov = (int64_t)rr->ov_idx.size();
+  if (n_ov > 0) {
+    std::unordered_map<int64_t, int32_t> sparse;
+    const int64_t* ov_i = rr->ov_idx.data();
+    const size_t n_runs = rr->run_contig.size();
+    for (size_t r = 0; r < n_runs; ++r) {
+      if (rr->run_contig[r] != contig) continue;
+      const int64_t base = rr->run_poff[r];
+      const int64_t end = base + rr->run_len[r];
+      size_t p =
+          (size_t)(std::lower_bound(ov_i, ov_i + n_ov, base) - ov_i);
+      for (; p < (size_t)n_ov && ov_i[p] < end; ++p) {
+        const int64_t pos =
+            (int64_t)rr->run_start[r] + (ov_i[p] - base);
+        ++sparse[pos * ((int64_t)1 << 31) + rr->ov_vid[p]];
+      }
+    }
+    sparse_to_buffers(sparse, fb);
+  }
+  view->sp_pos = fb->sp_pos.data();
+  view->sp_vid = fb->sp_vid.data();
+  view->sp_cnt = fb->sp_cnt.data();
+  view->n_sparse = (int64_t)fb->sp_pos.size();
+  return view;
 }
 
 // ---------------------------------------------------------------------
@@ -3494,7 +3848,10 @@ PPChunks2View* pp_chunks_from_runs(PPRunsView* runs, int32_t contig,
   const size_t n_runs = rr->run_contig.size();
 
   int T = n_threads > 0 ? n_threads : 1;
-  int64_t n_events = (int64_t)rr->vbytes.size();
+  // LOGICAL event total (zero-copy reuse makes vbytes.size() smaller)
+  int64_t n_events = rr->run_evt_off.empty()
+                         ? 0
+                         : rr->run_evt_off[rr->run_evt_off.size() - 1];
   if ((int64_t)T > (n_events + (1 << 20) - 1) / (1 << 20))
     T = (int)((n_events + (1 << 20) - 1) / (1 << 20));
   if (T < 1) T = 1;
@@ -3531,26 +3888,24 @@ PPChunks2View* pp_chunks_from_runs(PPRunsView* runs, int32_t contig,
     return std::lower_bound(ov_i, ov_i + n_ov, evt) - ov_i;
   };
 
-  // pass 1: per-(thread, tile) dense-event counts
+  // pass 1: per-(thread, tile) dense-event counts.
+  // Overflow bounds are re-sought PER RUN (zero-copy reuse makes
+  // physical run offsets non-monotone in stream order, so no global
+  // cursor exists); n_ov is 0 on almost every workload, making the
+  // per-run binary search free in practice.
   std::vector<std::vector<int64_t>> cnt((size_t)T);
   auto count_range = [&](int th) {
     auto& c = cnt[(size_t)th];
     c.assign((size_t)n_tiles, 0);
-    int64_t ov_p = ov_complete && rrange[(size_t)th] < n_runs
-                       ? ov_lower_bound(rr->run_evt_off[rrange[(size_t)th]])
-                       : 0;
     for (size_t r = rrange[(size_t)th]; r < rrange[(size_t)th + 1]; ++r) {
-      const int64_t base = rr->run_evt_off[r];
+      if (rr->run_contig[r] != contig) continue;
+      const int64_t base = rr->run_poff[r];
       const int64_t start = rr->run_start[r];
       const int32_t n = rr->run_len[r];
-      if (rr->run_contig[r] != contig) {
-        if (ov_complete)
-          while (ov_p < n_ov && ov_i[ov_p] < base + n) ++ov_p;
-        continue;
-      }
       if (ov_complete) {
         // whole-run dense count = n - overflow entries inside the run,
         // apportioned to tile segments (no byte scan)
+        int64_t ov_p = n_ov ? ov_lower_bound(base) : 0;
         int64_t p = start;
         const int64_t end = start + n;
         while (p < end) {
@@ -3648,20 +4003,14 @@ PPChunks2View* pp_chunks_from_runs(PPRunsView* runs, int32_t contig,
   }();
   auto scatter_range = [&](int th) {
     auto& wa = wstart[(size_t)th];
-    int64_t ov_p = ov_complete && rrange[(size_t)th] < n_runs
-                       ? ov_lower_bound(rr->run_evt_off[rrange[(size_t)th]])
-                       : 0;
     for (size_t r = rrange[(size_t)th]; r < rrange[(size_t)th + 1]; ++r) {
-      const int64_t base = rr->run_evt_off[r];
+      if (rr->run_contig[r] != contig) continue;
+      const int64_t base = rr->run_poff[r];
       const int64_t start = rr->run_start[r];
       const int32_t n = rr->run_len[r];
       const uint8_t* vb = rr->vbytes.data() + base;
-      if (rr->run_contig[r] != contig) {
-        if (ov_complete)
-          while (ov_p < n_ov && ov_i[ov_p] < base + n) ++ov_p;
-        continue;
-      }
       if (ov_complete) {
+        int64_t ov_p = n_ov ? ov_lower_bound(base) : 0;
         int64_t p = start;
         const int64_t end = start + n;
         while (p < end) {

@@ -196,7 +196,7 @@ def gather_headers(shards, n_files: int):
     a real pod: 16 bytes per alignment)."""
     per_shard = []
     for sh in shards:
-        rc, rs, rl, rk, _vb, _oi, _ov = sh.raw()
+        rc, rs, rl, rk, _vb, _oi, _ov, _poff = sh.raw()
         bounds = np.concatenate(([0], np.cumsum(sh.file_runs)))
         per_shard.append((rc, rs, rl, rk, bounds))
     cols = [[], [], [], []]

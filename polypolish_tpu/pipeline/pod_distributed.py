@@ -222,7 +222,7 @@ def polish_pod_distributed(
 
         # run headers in reference order: file-major, shard ranges
         # ascending within each file (16 bytes per alignment on the wire)
-        rc, rs, rl, rk, _vb, _oi, _ov = shard.raw()
+        rc, rs, rl, rk, _vb, _oi, _ov, _poff = shard.raw()
         file_runs = np.asarray(shard.file_runs, dtype=np.int64)
         all_file_runs = _allgather_var(file_runs)
         gathered_cols = []

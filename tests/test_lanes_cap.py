@@ -138,7 +138,7 @@ class TestNativeCap:
         name = names[0]
         P = lens[name]
         cid = pr.contig_names.index(name)
-        rc, rs, rl, _rk, _vb, _oi, _ov = pr.raw()
+        rc, rs, rl, _rk, _vb, _oi, _ov, _poff = pr.raw()
         sel = rc == cid
         n_tiles = max(1, -(-P // tile_w))
         depth = np.zeros(n_tiles * tile_w, dtype=np.int64)
