@@ -2133,21 +2133,18 @@ void fold_counts_range_u16(RunsResult& rr, int32_t contig, int64_t P,
     memset(stage + (size_t)v * (size_t)P + (size_t)pos_lo, 0,
            (size_t)(pos_hi - pos_lo) * sizeof(uint16_t));
   rr.prepare_sorted();
-  int64_t lo = 0, hi = 0;
+  int64_t slice_lo = 0, slice_hi = 0;
   if (contig >= 0 && (size_t)contig < rr.contig_slices.size()) {
-    lo = rr.contig_slices[(size_t)contig].first;
-    hi = rr.contig_slices[(size_t)contig].second;
+    slice_lo = rr.contig_slices[(size_t)contig].first;
+    slice_hi = rr.contig_slices[(size_t)contig].second;
   }
-  const int64_t min_start = pos_lo - (int64_t)rr.max_run_len;
-  lo = std::lower_bound(rr.sruns.begin() + lo, rr.sruns.begin() + hi,
-                        min_start,
-                        [](const RunsResult::SortedRun& s, int64_t v) {
-                          return (int64_t)s.start < v;
-                        }) -
-       rr.sruns.begin();
   const uint8_t* all_vb = rr.vbytes.data();
-  constexpr int64_t kPF = 10;
-  for (int64_t i = lo; i < hi; ++i) {
+
+  // One clipped-run accumulation step.  Returns false when the sorted
+  // stream has passed clip_hi_pos (nothing later can hit the range).
+  auto step = [&](int64_t i, int64_t hi, int64_t clip_lo_pos,
+                  int64_t clip_hi_pos) -> bool {
+    constexpr int64_t kPF = 10;
     if (i + kPF < hi) {
       const char* pv = (const char*)(all_vb + rr.sruns[i + kPF].evt_off);
       _mm_prefetch(pv, _MM_HINT_T0);
@@ -2155,12 +2152,12 @@ void fold_counts_range_u16(RunsResult& rr, int32_t contig, int64_t P,
       _mm_prefetch(pv + 128, _MM_HINT_T0);
     }
     const RunsResult::SortedRun& sr = rr.sruns[(size_t)i];
-    if ((int64_t)sr.start >= pos_hi) break;
+    if ((int64_t)sr.start >= clip_hi_pos) return false;
     const int32_t clip_lo =
-        (int32_t)std::max<int64_t>(0, pos_lo - (int64_t)sr.start);
+        (int32_t)std::max<int64_t>(0, clip_lo_pos - (int64_t)sr.start);
     const int32_t clip_hi = (int32_t)std::min<int64_t>(
-        (int64_t)sr.len, pos_hi - (int64_t)sr.start);
-    if (clip_lo >= clip_hi) continue;
+        (int64_t)sr.len, clip_hi_pos - (int64_t)sr.start);
+    if (clip_lo >= clip_hi) return true;
     const int64_t base = sr.evt_off + clip_lo;
     const int32_t n = clip_hi - clip_lo;
     const int64_t start = (int64_t)sr.start + clip_lo;
@@ -2169,6 +2166,10 @@ void fold_counts_range_u16(RunsResult& rr, int32_t contig, int64_t P,
 #if defined(__AVX512F__) && defined(__AVX512BW__)
     const __m512i ones16 = _mm512_set1_epi16(1);
     const __m512i eight8 = _mm512_set1_epi8(8);
+    // full-width blocks (fast path), then ONE masked block for the
+    // tail — the ~150-event average run left ~13% of events in the old
+    // scalar remainder loop.  Tail STORES must stay masked: the
+    // trailing lanes may belong to the other fold thread's range.
     for (; j + 64 <= n; j += 64) {
       __m512i bytes = _mm512_loadu_si512((const void*)(vb + j));
       for (int v = 0; v < kDenseVNative; ++v) {
@@ -2192,7 +2193,37 @@ void fold_counts_range_u16(RunsResult& rr, int32_t contig, int64_t P,
         fold_rare_byte(rr, vb[j + k], base, j + k, start, sparse);
       }
     }
-#endif
+    if (j < n) {
+      const int32_t rem = n - j;
+      const uint64_t valid = (~0ull) >> (64 - rem);
+      __m512i bytes =
+          _mm512_maskz_loadu_epi8((__mmask64)valid, (const void*)(vb + j));
+      for (int v = 0; v < kDenseVNative; ++v) {
+        __mmask64 m =
+            (uint64_t)_mm512_cmpeq_epi8_mask(bytes,
+                                             _mm512_set1_epi8((char)v)) &
+            valid;
+        if (!m) continue;
+        uint16_t* rowp =
+            stage + (size_t)v * (size_t)P + (size_t)(start + j);
+        for (int q = 0; q < 2; ++q) {
+          __mmask32 mq = (__mmask32)(m >> (32 * q));
+          if (!mq) continue;
+          __m512i c = _mm512_maskz_loadu_epi16(mq, (const void*)(rowp +
+                                                                 32 * q));
+          c = _mm512_mask_adds_epu16(c, mq, c, ones16);
+          _mm512_mask_storeu_epi16((void*)(rowp + 32 * q), mq, c);
+        }
+      }
+      __mmask64 rare =
+          (uint64_t)_mm512_cmpge_epu8_mask(bytes, eight8) & valid;
+      while (rare) {
+        int k = (int)_tzcnt_u64((uint64_t)rare);
+        rare &= rare - 1;
+        fold_rare_byte(rr, vb[j + k], base, j + k, start, sparse);
+      }
+    }
+#else
     for (; j < n; ++j) {
       uint8_t b = vb[j];
       if (b < kDenseVNative) {
@@ -2201,6 +2232,42 @@ void fold_counts_range_u16(RunsResult& rr, int32_t contig, int64_t P,
       } else {
         fold_rare_byte(rr, b, base, j, start, sparse);
       }
+    }
+#endif
+    return true;
+  };
+
+  auto first_run = [&](int64_t clip_lo_pos) -> int64_t {
+    const int64_t min_start = clip_lo_pos - (int64_t)rr.max_run_len;
+    return std::lower_bound(
+               rr.sruns.begin() + slice_lo, rr.sruns.begin() + slice_hi,
+               min_start,
+               [](const RunsResult::SortedRun& s, int64_t v) {
+                 return (int64_t)s.start < v;
+               }) -
+           rr.sruns.begin();
+  };
+
+  // Dual-stream interleave: consecutive sorted runs cover ~the same
+  // count lines (depth-long store-forward chains), so one stream is
+  // RMW-latency-bound.  Two distant position sub-ranges advanced in
+  // lockstep give the core two independent chains (~1.4x measured).
+  // Integer adds commute, so any interleave is bitwise-exact.
+  const int64_t mid = pos_lo + (pos_hi - pos_lo) / 2;
+  int64_t ia = first_run(pos_lo), ib = first_run(mid);
+  bool alive_a = true, alive_b = true;
+  while (alive_a || alive_b) {
+    if (alive_a) {
+      if (ia >= slice_hi || !step(ia, slice_hi, pos_lo, mid))
+        alive_a = false;
+      else
+        ++ia;
+    }
+    if (alive_b) {
+      if (ib >= slice_hi || !step(ib, slice_hi, mid, pos_hi))
+        alive_b = false;
+      else
+        ++ib;
     }
   }
 }
