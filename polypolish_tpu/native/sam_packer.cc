@@ -3632,33 +3632,33 @@ static void fold_counts_window(RunsResult& rr, int32_t contig,
     memset(counts_out + (size_t)v * (size_t)W, 0,
            (size_t)W * sizeof(int32_t));
   rr.prepare_sorted();
-  int64_t lo = 0, hi = 0;
+  int64_t slice_lo = 0, slice_hi = 0;
   if (contig >= 0 && (size_t)contig < rr.contig_slices.size()) {
-    lo = rr.contig_slices[(size_t)contig].first;
-    hi = rr.contig_slices[(size_t)contig].second;
+    slice_lo = rr.contig_slices[(size_t)contig].first;
+    slice_hi = rr.contig_slices[(size_t)contig].second;
   }
-  const int64_t min_start = w_lo - (int64_t)rr.max_run_len;
-  lo = std::lower_bound(rr.sruns.begin() + lo, rr.sruns.begin() + hi,
-                        min_start,
-                        [](const RunsResult::SortedRun& s, int64_t v) {
-                          return (int64_t)s.start < v;
-                        }) -
-       rr.sruns.begin();
   const uint8_t* all_vb = rr.vbytes.data();
-  constexpr int64_t kPF = 10;
-  for (int64_t i = lo; i < hi; ++i) {
+
+  // Same structure as fold_counts_range_u16: dual-stream interleave
+  // over two window halves (independent RMW chains) + masked-vector
+  // tail (masked STORES — tail lanes can fall outside the window
+  // buffer).  Dense bytes only; the sparse tier comes from
+  // pp_sparse_contig outside the window loop.
+  auto step = [&](int64_t i, int64_t hi, int64_t clip_lo_pos,
+                  int64_t clip_hi_pos) -> bool {
+    constexpr int64_t kPF = 10;
     if (i + kPF < hi) {
       const char* pv = (const char*)(all_vb + rr.sruns[i + kPF].evt_off);
       _mm_prefetch(pv, _MM_HINT_T0);
       _mm_prefetch(pv + 64, _MM_HINT_T0);
     }
     const RunsResult::SortedRun& sr = rr.sruns[(size_t)i];
-    if ((int64_t)sr.start >= w_hi) break;
+    if ((int64_t)sr.start >= clip_hi_pos) return false;
     const int32_t clip_lo =
-        (int32_t)std::max<int64_t>(0, w_lo - (int64_t)sr.start);
+        (int32_t)std::max<int64_t>(0, clip_lo_pos - (int64_t)sr.start);
     const int32_t clip_hi = (int32_t)std::min<int64_t>(
-        (int64_t)sr.len, w_hi - (int64_t)sr.start);
-    if (clip_lo >= clip_hi) continue;
+        (int64_t)sr.len, clip_hi_pos - (int64_t)sr.start);
+    if (clip_lo >= clip_hi) return true;
     const int32_t n = clip_hi - clip_lo;
     const int64_t start = (int64_t)sr.start + clip_lo - w_lo;  // window-local
     const uint8_t* vb = all_vb + sr.evt_off + clip_lo;
@@ -3682,11 +3682,65 @@ static void fold_counts_window(RunsResult& rr, int32_t contig,
         }
       }
     }
-#endif
+    if (j < n) {
+      const int32_t rem = n - j;
+      const uint64_t valid = (~0ull) >> (64 - rem);
+      __m512i bytes =
+          _mm512_maskz_loadu_epi8((__mmask64)valid, (const void*)(vb + j));
+      for (int v = 0; v < kDenseVNative; ++v) {
+        __mmask64 m =
+            (uint64_t)_mm512_cmpeq_epi8_mask(bytes,
+                                             _mm512_set1_epi8((char)v)) &
+            valid;
+        if (!m) continue;
+        int32_t* rowp =
+            counts_out + (size_t)v * (size_t)W + (size_t)(start + j);
+        for (int q = 0; q < 4; ++q) {
+          __mmask16 mq = (__mmask16)(m >> (16 * q));
+          if (!mq) continue;
+          __m512i c = _mm512_maskz_loadu_epi32(mq, (const void*)(rowp +
+                                                                 16 * q));
+          c = _mm512_mask_add_epi32(c, mq, c, ones32);
+          _mm512_mask_storeu_epi32((void*)(rowp + 16 * q), mq, c);
+        }
+      }
+    }
+#else
     for (; j < n; ++j) {
       uint8_t b = vb[j];
       if (b < kDenseVNative)
         ++counts_out[(size_t)b * (size_t)W + (size_t)(start + j)];
+    }
+#endif
+    return true;
+  };
+
+  auto first_run = [&](int64_t clip_lo_pos) -> int64_t {
+    const int64_t min_start = clip_lo_pos - (int64_t)rr.max_run_len;
+    return std::lower_bound(
+               rr.sruns.begin() + slice_lo, rr.sruns.begin() + slice_hi,
+               min_start,
+               [](const RunsResult::SortedRun& s, int64_t v) {
+                 return (int64_t)s.start < v;
+               }) -
+           rr.sruns.begin();
+  };
+
+  const int64_t mid = w_lo + W / 2;
+  int64_t ia = first_run(w_lo), ib = first_run(mid);
+  bool alive_a = true, alive_b = true;
+  while (alive_a || alive_b) {
+    if (alive_a) {
+      if (ia >= slice_hi || !step(ia, slice_hi, w_lo, mid))
+        alive_a = false;
+      else
+        ++ia;
+    }
+    if (alive_b) {
+      if (ib >= slice_hi || !step(ib, slice_hi, mid, w_hi))
+        alive_b = false;
+      else
+        ++ib;
     }
   }
 }
