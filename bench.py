@@ -217,14 +217,56 @@ def main_e2e(args):
     eprint(f"best backend: {best_backend} {ours_s:.2f}s = "
            f"{ours_rate/1e3:.0f}k alignments/s "
            f"(vs baseline {base_rate/1e3:.0f}k) — output byte-identical")
+    counted = measure_counted_metrics(asm, sams, ref_fasta)
     tpu_extras = measure_chip_extras(args, asm, sams, ref_fasta)
     print(json.dumps({
         "metric": "polish_e2e_alignments_per_s",
         "value": round(ours_rate / 1e3, 1),
         "unit": "k alignments/s",
         "vs_baseline": round(ours_rate / base_rate, 2),
+        **({"counted": counted} if counted else {}),
         **tpu_extras,
     }))
+
+
+def measure_counted_metrics(asm, sams, ref_fasta):
+    """Noise-independent per-phase COUNTED metrics (VERDICT r4 item 9):
+    one extra host run with the native rdtsc phase counters enabled,
+    reported as cycles/bytes/events — stable through the microVM's
+    2-5x wall-clock weather, so regressions are visible independently
+    of whichever window a session happened to measure in."""
+    try:
+        from polypolish_tpu.native import binding
+
+        if binding.load_library() is None:
+            return {}
+        ghz = binding.tsc_hz() / 1e9
+        binding.prof_enable(True)
+        binding.prof_read(reset=True)
+        run_framework(asm, sams, "host", 1, ref_fasta)
+        p = binding.prof_read(reset=True)
+        binding.prof_enable(False)
+        rng = p["parse_range_cycles"]
+        out = {
+            "tsc_ghz": round(ghz, 3),
+            "sam_bytes": p["sam_bytes"],
+            "parse_cycles_g": round(rng / 1e9, 3),
+            "parse_bytes_per_cycle": round(p["sam_bytes"] / max(rng, 1), 3),
+            "tokenize_pct": round(100 * p["tokenize_cycles"] / max(rng, 1), 1),
+            "fill_pct": round(100 * p["fill_cycles"] / max(rng, 1), 1),
+            "dispatch_pct": round(100 * p["dispatch_cycles"] / max(rng, 1), 1),
+            "reuse_hits": p["reuse_hits"],
+            "walked_alignments": p["walked_alignments"],
+            "fold_cycles_g": round(p["fold_cycles"] / 1e9, 3),
+            "fold_events_m": round(p["fold_events"] / 1e6, 1),
+            "fold_cycles_per_event": round(
+                p["fold_cycles"] / max(p["fold_events"], 1), 2),
+        }
+        eprint(f"counted metrics: {json.dumps(out)}")
+        return out
+    except Exception as e:
+        eprint(f"  counted metrics skipped: {e!r}")
+        return {}
 
 
 def measure_chip_extras(args, asm, sams, ref_fasta):

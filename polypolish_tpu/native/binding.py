@@ -278,6 +278,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pp_madvise_huge.restype = None
         lib.pp_prof_enable.argtypes = [ctypes.c_int32]
         lib.pp_prof_enable.restype = None
+        lib.pp_tsc.argtypes = []
+        lib.pp_tsc.restype = ctypes.c_int64
         lib.pp_prof_read.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int32
         ]
@@ -629,6 +631,29 @@ def prof_enable(on: bool = True) -> None:
     lib = load_library()
     if lib is not None:
         lib.pp_prof_enable(1 if on else 0)
+
+
+def tsc_hz() -> float:
+    """Calibrated TSC frequency (Hz), measured once per process against
+    the wall clock (invariant TSC on the target hosts)."""
+    global _tsc_hz
+    if _tsc_hz is not None:
+        return _tsc_hz
+    lib = load_library()
+    if lib is None:
+        return 0.0
+    import time as _time
+
+    t0 = _time.perf_counter()
+    c0 = lib.pp_tsc()
+    _time.sleep(0.1)
+    c1 = lib.pp_tsc()
+    t1 = _time.perf_counter()
+    _tsc_hz = (c1 - c0) / max(t1 - t0, 1e-9)
+    return _tsc_hz
+
+
+_tsc_hz = None
 
 
 def prof_read(reset: bool = True) -> dict:
