@@ -318,6 +318,7 @@ def measure_chip_extras(args, asm, sams, ref_fasta):
         from polypolish_tpu.ops import vote_lanes
 
         eprint("TPU attached: lanes-kernel roofline (depth-50 shape, "
+               "cap layout + MXU overflow — the round-5 best config — "
                "bitwise-checked) ...")
         n_pos = 500_000  # half the config-2 shape: same depth profile,
         #                  half the host prep time; measured rate matches
@@ -332,6 +333,7 @@ def measure_chip_extras(args, asm, sams, ref_fasta):
         )
         rate, roofline = bench_lanes(
             pos, vocab, n_pos, 24, None, vote_lanes.TILE_W, check=True,
+            cap=True, ov_mode="mxu",
         )
         extras["tpu_kernel"] = {
             "g_votes_per_s": round(rate / 1e9, 1),
@@ -481,13 +483,18 @@ def _auto_r_sub(pos, num_positions, tile_w, cap=False):
 
 
 def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
-                verbose=True, check=True, body="packed4", cap=False):
+                verbose=True, check=True, body="packed4", cap=False,
+                ov_mode="scatter"):
     """Lane-aligned VPU kernel (ops/vote_lanes.py) with noise-robust
     chained timing (the tunnel adds ~25-500 ms fixed per dispatch, so
     rate = best-of-reps of (T(1+iters) - T(1)) / iters) and a
     roofline/MFU accounting block in the JSON.  cap=True benches the
-    depth-stratified layout — the overflow scatter-add runs INSIDE the
-    timed body, so votes/s stays an honest whole-pileup rate."""
+    depth-stratified layout — the overflow add runs INSIDE the timed
+    body, so votes/s stays an honest whole-pileup rate.  ov_mode picks
+    the overflow mechanism: 'scatter' (XLA scatter-add, ~8 ns/event) or
+    'mxu' (VERDICT r4 item 3: the sorted-COO overflow list packed into
+    the MXU chunks layout and folded by the one-hot-matmul Pallas
+    kernel, added tensor-to-tensor — a Pallas-native overflow path)."""
     import jax
     import jax.numpy as jnp
 
@@ -524,17 +531,41 @@ def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
         arr = vb.view(np.int8)
     d_vb = jnp.asarray(arr)
     d_bt = jnp.asarray(block_tile)
+    d_op = d_ov = None
+    mxu_ov = None
     if cap and ov_pos.size:
-        d_op = jnp.asarray(ov_pos)
-        d_ov = jnp.asarray(ov_vid)
-        jax.block_until_ready((d_op, d_ov))
-    else:
-        d_op = d_ov = None
+        if ov_mode == "mxu":
+            from polypolish_tpu.ops.vote_pallas import (
+                _vote_pallas_call,
+                prepare_chunks,
+            )
+
+            P_pad = n_tiles * tile_w
+            cp, cv, ct, mxu_tiles = prepare_chunks(
+                ov_pos.astype(np.int64), ov_vid.astype(np.int32), P_pad,
+            )
+            d_cp = jnp.asarray(cp)
+            d_cv = jnp.asarray(cv)
+            d_ct = jnp.asarray(ct)
+            jax.block_until_ready((d_cp, d_cv, d_ct))
+
+            def mxu_ov(out):
+                extra = _vote_pallas_call(
+                    d_cp, d_cv, d_ct, n_tiles=mxu_tiles,
+                    interpret=interpret,
+                )
+                return out + extra[:, :out.shape[1]]
+        else:
+            d_op = jnp.asarray(ov_pos)
+            d_ov = jnp.asarray(ov_vid)
+            jax.block_until_ready((d_op, d_ov))
 
     def kernel_once(bt, v):
         out = _lanes_call(v, bt, n_tiles=n_tiles, interpret=interpret,
                           r_sub=r_sub, tile_w=tile_w, body=body)
-        if d_op is not None:
+        if mxu_ov is not None:
+            out = mxu_ov(out)
+        elif d_op is not None:
             out = add_overflow_counts(out, d_op, d_ov)
         return out
 
@@ -656,7 +687,7 @@ def main_kernel(args):
         tile_w = args.tile_p or vote_lanes.TILE_W
         rate, roofline = bench_lanes(
             pos, vocab, args.positions, max(args.iters, 24), r_sub, tile_w,
-            check=not args.no_check, cap=args.cap,
+            check=not args.no_check, cap=args.cap, ov_mode=args.ov_mode,
         )
         print(json.dumps({
             "metric": "pileup_vote_throughput",
@@ -1112,6 +1143,10 @@ def main():
                     "layout (lower pad, but the overflow scatter-add "
                     "costs ~8 ns/event on-chip — a win only where "
                     "upload bytes dominate, i.e. the device e2e path)")
+    ap.add_argument("--ov-mode", default="scatter",
+                    choices=("scatter", "mxu"),
+                    help="--kernel --cap overflow mechanism: XLA "
+                    "scatter-add or the MXU chunks Pallas kernel")
     ap.add_argument("--no-cap", action="store_true",
                     help="deprecated alias (uncapped is the default)")
     ap.add_argument("--no-chip", action="store_true",

@@ -265,11 +265,48 @@ class LanesPolisher:
                 part = self._slab_jit(d_vb, d_bt)
                 total = part if total is None else self._add_jit(total, part)
         if ov_pos is not None and len(ov_pos):
-            op, ov = self._pad_overflow(ov_pos, ov_vid)
-            total = self._ov_add_jit(
-                total, jax.device_put(op), jax.device_put(ov)
-            )
+            if self._ov_mode() == "mxu":
+                # Pallas-native overflow (round 5): the sorted-COO
+                # overflow list rides the MXU chunks kernel and is
+                # added tensor-to-tensor — measured 173 G votes/s for
+                # the whole capped pileup vs 56 G with the XLA scatter
+                # (and 144 G uncapped), because the ~8 ns/event scatter
+                # tax goes away while the 1.34x pad layout stays.
+                # Bitwise-identical to the scatter (integer adds).
+                from polypolish_tpu.ops.vote_pallas import (
+                    _vote_pallas_call,
+                    prepare_chunks,
+                )
+
+                P_pad = self.n_tiles * self.tile_w
+                cp, cv, ct, mxu_tiles = prepare_chunks(
+                    np.asarray(ov_pos, dtype=np.int64),
+                    np.asarray(ov_vid, dtype=np.int32), P_pad,
+                )
+                extra = _vote_pallas_call(
+                    jax.device_put(cp), jax.device_put(cv),
+                    jax.device_put(ct), n_tiles=mxu_tiles,
+                    interpret=self.interpret,
+                )
+                total = self._add_jit(total, extra[:, :P_pad])
+            else:
+                op, ov = self._pad_overflow(ov_pos, ov_vid)
+                total = self._ov_add_jit(
+                    total, jax.device_put(op), jax.device_put(ov)
+                )
         return total
+
+    def _ov_mode(self) -> str:
+        """Overflow mechanism: 'mxu' (default on real chips) or
+        'scatter'.  POLYPOLISH_TPU_OV_MODE overrides; interpret mode
+        defaults to the scatter (the emulated MXU kernel is slow on
+        CPU and the results are bitwise-identical either way)."""
+        import os
+
+        v = os.environ.get("POLYPOLISH_TPU_OV_MODE")
+        if v in ("mxu", "scatter"):
+            return v
+        return "scatter" if self.interpret else "mxu"
 
     def _pad_overflow(self, ov_pos, ov_vid):
         """Geometric-bucket padding of the overflow arrays so repeated

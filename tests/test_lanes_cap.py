@@ -201,3 +201,30 @@ class TestNativeCap:
         np.testing.assert_array_equal(got, counts_ref)
         pack.close()
         pr.close()
+
+
+def test_mxu_overflow_mode_matches_scatter(monkeypatch):
+    """The Pallas-native (MXU chunks) overflow path must be bitwise
+    equal to the XLA scatter path and the host fold (round 5: the cap
+    layout + MXU overflow is the production kernel config on chip)."""
+    from polypolish_tpu.models.polisher import LanesPolisher
+    from polypolish_tpu.ops.vote_lanes import prepare_lanes
+
+    num_positions, n_events = 4000, 120_000
+    pos, vocab = _events(7, n_events, num_positions, skew=True)
+    want = dense_counts_host(pos, vocab, num_positions)
+
+    m = LanesPolisher(num_positions, r_sub=8, tile_w=128)
+    vb, bt, n_tiles, ov_pos, ov_vid = prepare_lanes(
+        pos, vocab, num_positions, r_sub=8, tile_w=128, cap=True,
+    )
+    assert ov_pos.size > 0, "workload must exercise the overflow path"
+
+    monkeypatch.setenv("POLYPOLISH_TPU_OV_MODE", "scatter")
+    got_scatter = np.asarray(
+        m.vote_counts(vb, bt, ov_pos, ov_vid))[:, :num_positions]
+    monkeypatch.setenv("POLYPOLISH_TPU_OV_MODE", "mxu")
+    got_mxu = np.asarray(
+        m.vote_counts(vb, bt, ov_pos, ov_vid))[:, :num_positions]
+    np.testing.assert_array_equal(got_scatter, want)
+    np.testing.assert_array_equal(got_mxu, want)
