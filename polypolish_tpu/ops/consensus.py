@@ -181,12 +181,18 @@ def consensus_sparse_override(
 
     sp_pos must be sorted ascending with entries grouped by position
     (the order fold/sparse produce).  Returns the unique positions
-    (callers reuse them for debug output)."""
+    (callers reuse them for debug output).
+
+    ``counts`` may be the full (8, P) tensor OR a pre-gathered
+    (8, n_unique_positions) column block (columns = np.unique(sp_pos)
+    order) — the windowed device path gathers on device at enqueue
+    time so the full window counts never persist (round-5 RSS work)."""
     upos, seg_start = np.unique(sp_pos, return_index=True)
     seg_id = np.searchsorted(upos, sp_pos)
     vt = valid_thr[upos].astype(np.int64)
     it = invalid_thr[upos].astype(np.int64)
-    cols = np.asarray(counts[:, upos])  # (8, n_u) gather
+    c = np.asarray(counts)
+    cols = c if c.shape[1] == upos.size else c[:, upos]  # (8, n_u)
     participate = _ACGT_ROWS | (cols > 0)
     isv_d = participate & (cols >= vt[None, :])
     isi_d = participate & ~isv_d & (cols >= it[None, :])

@@ -694,7 +694,7 @@ def _polish_device_runs_windowed(
 
     def finish_window(p):
         nonlocal total_depth, zero_depth_count, changed_count
-        (w_lo, w_hi, pack, counts_j, adopted_u8, status_u8,
+        (w_lo, w_hi, pack, cols_j, adopted_u8, status_u8,
          depth_w, valid_w, invalid_w) = p
         w_real = w_hi - w_lo
         status = np.array(status_u8)[:w_real].astype(np.int32)
@@ -704,8 +704,11 @@ def _polish_device_runs_windowed(
         new_id_w = new_id_w.astype(np.int32)
         i0, i1 = np.searchsorted(sp_pos, [w_lo, w_hi])
         if i1 > i0:
+            # cols_j = pre-gathered (8, n_unique) sparse-position
+            # columns (gathered on device at enqueue; the full window
+            # counts tensor was dropped immediately)
             consensus_sparse_override(
-                counts_j[:, :w_real], sp_pos[i0:i1] - w_lo,
+                cols_j, sp_pos[i0:i1] - w_lo,
                 sp_vid[i0:i1], sp_cnt[i0:i1], valid_w, invalid_w,
                 depth_w, min_depth, orig_w, new_id_w, status,
             )
@@ -746,7 +749,18 @@ def _polish_device_runs_windowed(
                 pad_w(orig_id[w_lo:w_hi], 0, np.int32),
                 ov_pos=pack.ov_pos, ov_vid=pack.ov_vid,
             )
-            pending.append((w_lo, w_hi, pack, counts_j, adopted_u8,
+            # keep only the sparse-position columns in flight: the full
+            # (8, W) counts (256 MB/window at the default width, plus
+            # the tunnel backend's host mirror) would otherwise live for
+            # depth+1 windows — the dominant device-path RSS term
+            i0, i1 = np.searchsorted(sp_pos, [w_lo, w_hi])
+            if i1 > i0:
+                upos_local = np.unique(sp_pos[i0:i1] - w_lo)
+                cols_j = counts_j[:, jnp.asarray(upos_local)]
+            else:
+                cols_j = None
+            del counts_j
+            pending.append((w_lo, w_hi, pack, cols_j, adopted_u8,
                             status_u8, depth_w.copy(), valid_w.copy(),
                             invalid_w.copy()))
             while len(pending) > depth_slots:
