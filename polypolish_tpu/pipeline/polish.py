@@ -677,17 +677,20 @@ def _polish_device_runs_windowed(
     changed_count = 0
 
     # in-flight window pipeline: window k+depth's pack/upload is issued
-    # before window k's results are fetched.  Depth 1 suffices on the
-    # tunnel (one upload fully overlaps one compute); PCIe hosts can
-    # deepen it (each slot holds a pack + counts, ~2x window bytes).
+    # before window k's results are fetched.  Default depth 2 (measured
+    # -28% at 100 Mb even on the tunnel: window k+1's pack+upload
+    # overlaps window k's compute AND window k-1's fetch; depth 3 adds
+    # no overlap a single-transfer link can use — BENCH_NOTES round 5).
+    # Each slot holds a pack + the sparse-column gather, ~1.1x window
+    # bytes since the full counts tensor is no longer retained.
     import collections
     import os as _os
 
     try:
         depth_slots = max(1, int(_os.environ.get(
-            "POLYPOLISH_TPU_WINDOW_DEPTH", 1)))
+            "POLYPOLISH_TPU_WINDOW_DEPTH", 2)))
     except ValueError:
-        depth_slots = 1
+        depth_slots = 2
     pending = collections.deque()  # (w_lo, w_hi, pack, counts_j,
     #                                adopted_u8, status_u8, depth_w,
     #                                thr copies)
