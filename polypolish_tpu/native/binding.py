@@ -47,6 +47,8 @@ class _PPQuickView(ctypes.Structure):
         ("name_id", ctypes.POINTER(ctypes.c_int64) * 2),
         ("n", ctypes.c_int64 * 2),
         ("n_names", ctypes.c_int64 * 2),
+        ("line_start", ctypes.POINTER(ctypes.c_int64) * 2),
+        ("line_end", ctypes.POINTER(ctypes.c_int64) * 2),
         ("status", ctypes.c_int),
         ("error", ctypes.c_char_p),
         ("handle", ctypes.c_void_p),
@@ -225,11 +227,12 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pp_free_quick.argtypes = [ctypes.POINTER(_PPQuickView)]
         lib.pp_free_quick.restype = None
         lib.pp_rewrite_sam.restype = ctypes.POINTER(_PPRewriteView)
-        lib.pp_rewrite_sam.argtypes = [
+        lib.pp_rewrite_sam.argtypes = [  # (in, out, verdicts, n, line_end)
             ctypes.c_char_p,                    # in filename
             ctypes.c_char_p,                    # out filename
             ctypes.POINTER(ctypes.c_uint8),     # verdicts (0/1 per record)
             ctypes.c_int64,                     # n_verdicts
+            ctypes.POINTER(ctypes.c_int64),     # line_end offsets or NULL
         ]
         lib.pp_free_rewrite.argtypes = [ctypes.POINTER(_PPRewriteView)]
         lib.pp_free_rewrite.restype = None
@@ -426,6 +429,9 @@ def quick_parse_pair(file1, file2):
                 "end": arr(v.end[i], np.int64),
                 "name_id": arr(v.name_id[i], np.int64),
                 "n_names": int(v.n_names[i]),
+                # aligned-record raw line-end offsets: lets the verdict
+                # rewrite skip its rescan (round 5)
+                "line_end": arr(v.line_end[i], np.int64),
             })
         return out
     finally:
@@ -466,19 +472,30 @@ def prepare_chunks_native(pos, vocab, num_positions, tile_p, e_sub,
         lib.pp_free_chunks(view)
 
 
-def rewrite_sam_native(in_filename, out_filename, verdicts) -> Tuple[int, int]:
+def rewrite_sam_native(in_filename, out_filename, verdicts,
+                       line_end=None) -> Tuple[int, int]:
     """Native SAM re-stream for the filter subcommand: copies the input,
     tagging aligned records whose verdict is False with ``ZP:Z:fail``.
     Byte-identical to the Python rewriter (filter.rs:296-343 semantics).
-    Returns (pass_count, fail_count)."""
+    line_end: optional aligned-record line-end offsets from
+    quick_parse_pair — the rewrite then runs scan-free (bulk verbatim
+    writes between fail-line splices).  Returns (pass_count,
+    fail_count)."""
     lib = load_library()
     assert lib is not None
     v8 = np.ascontiguousarray(verdicts, dtype=np.uint8)
+    if line_end is not None and len(line_end) == v8.shape[0]:
+        le = np.ascontiguousarray(line_end, dtype=np.int64)
+        le_ptr = le.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    else:
+        le = None
+        le_ptr = None
     view = lib.pp_rewrite_sam(
         os.fsencode(in_filename),
         os.fsencode(out_filename),
         v8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         v8.shape[0],
+        le_ptr,
     )
     try:
         v = view.contents

@@ -2709,6 +2709,10 @@ struct QuickFile {
   std::vector<int64_t> start;
   std::vector<int64_t> end;
   std::vector<int64_t> name_id;
+  // raw byte range of each aligned record's line (end excludes the
+  // newline; exact only for CR-free inputs, which is the only case the
+  // offset-based rewrite fast path uses them in)
+  std::vector<int64_t> line_start, line_end;
   int64_t n_names = 0;
 };
 
@@ -2726,6 +2730,8 @@ struct PPQuickView {
   const int64_t* name_id[2];
   int64_t n[2];
   int64_t n_names[2];
+  const int64_t* line_start[2];  // aligned-record raw line offsets
+  const int64_t* line_end[2];
   int status;
   const char* error;
   void* handle;
@@ -2774,6 +2780,11 @@ static bool quick_parse_file(const char* filename, QuickFile& out,
   }
   std::string_view data(mf.data, mf.size);
 
+  // pre-size the intern maps to the name-count scale (~1 read name per
+  // ~300 input bytes): rehash storms re-hash every stored string
+  names.reserve(names.size() + mf.size / 300 + 1024);
+  refs.reserve(64);
+
   std::vector<uint8_t> seen;  // per-file distinct-name flags by id
   seen.reserve(names.size() + 1024);
   // 1-entry caches: multi-mapped reads arrive as consecutive lines and
@@ -2794,6 +2805,7 @@ static bool quick_parse_file(const char* filename, QuickFile& out,
                             flens, &nf, &advance);
     ++line_no;
     const char* line = data.data() + off;
+    const size_t line_start_off = off;
     off += advance;
     if (llen > 0 && line[0] == '@') continue;
     if (nf < 11) {
@@ -2804,6 +2816,8 @@ static bool quick_parse_file(const char* filename, QuickFile& out,
     }
     uint32_t fl = (uint32_t)parse_int(std::string_view(fields[1], flens[1]));
     if (fl & 4) continue;  // unaligned
+    out.line_start.push_back((int64_t)line_start_off);
+    out.line_end.push_back((int64_t)(line_start_off + llen));
 
     std::string_view name_v(fields[0], flens[0]);
     int64_t nid;
@@ -2902,6 +2916,8 @@ PPQuickView* pp_quick_parse_pair(const char* file1, const char* file2) {
     view->name_id[i] = qb->f[i].name_id.data();
     view->n[i] = (int64_t)qb->f[i].flags.size();
     view->n_names[i] = qb->f[i].n_names;
+    view->line_start[i] = qb->f[i].line_start.data();
+    view->line_end[i] = qb->f[i].line_end.data();
   }
   view->status = qb->status;
   view->error = qb->error.c_str();
@@ -2936,7 +2952,8 @@ struct PPRewriteView {
 
 PPRewriteView* pp_rewrite_sam(const char* in_filename,
                               const char* out_filename,
-                              const uint8_t* verdicts, int64_t n_verdicts) {
+                              const uint8_t* verdicts, int64_t n_verdicts,
+                              const int64_t* line_end_off) {
   auto* rb = new RewriteBuffers();
   auto* view = new PPRewriteView();
   memset(view, 0, sizeof(*view));
@@ -2962,6 +2979,50 @@ PPRewriteView* pp_rewrite_sam(const char* in_filename,
   int64_t fail_count = 0;
   size_t off = 0;
   const size_t n = data.size();
+
+  // Offset-based fast path (round 5): the quick-parse already located
+  // every aligned record's line, so the rewrite needs NO rescans —
+  // just bulk verbatim writes between fail lines (whose end offsets
+  // come in line_end_off).  CR-free inputs only (offsets exclude any
+  // '\r', which only CR files carry; those take the scanning paths).
+  if (line_end_off != nullptr &&
+      memchr(data.data(), '\r', n) == nullptr) {
+    FILE* f = fopen(out_filename, "wb");
+    std::unique_ptr<char[]> iobuf(new char[1 << 20]);
+    if (f) setvbuf(f, iobuf.get(), _IOFBF, 1 << 20);
+    bool wok = f != nullptr;
+    auto wr = [&](const char* p, size_t len) {
+      if (wok && len && fwrite(p, 1, len, f) != len) wok = false;
+    };
+    size_t pend = 0;
+    for (int64_t i = 0; i < n_verdicts; ++i) {
+      if (verdicts[i]) {
+        ++pass_count;
+        continue;
+      }
+      ++fail_count;
+      const size_t e = (size_t)line_end_off[i];
+      wr(data.data() + pend, e - pend);
+      wr(kFailTag, sizeof(kFailTag) - 1);
+      wr("\n", 1);
+      pend = e < n ? e + 1 : n;  // skip the newline (if any)
+    }
+    if (pend < n) wr(data.data() + pend, n - pend);
+    // normalise a missing final newline (unless the final line was a
+    // fail line, whose splice already emitted one and set pend == n)
+    if (n > 0 && data[n - 1] != '\n' && pend < n) wr("\n", 1);
+    if (f && fclose(f) != 0) wok = false;
+    if (!wok) {
+      view->status = 2;
+      rb->error = std::string("unable to write alignments to \"") +
+                  out_filename + "\"";
+      view->error = rb->error.c_str();
+      return view;
+    }
+    view->pass_count = pass_count;
+    view->fail_count = fail_count;
+    return view;
+  }
 
   // Fast path for CR-free files (the overwhelmingly common case —
   // checked once with a single memchr pass): lines are verbatim

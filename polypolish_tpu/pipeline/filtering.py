@@ -31,7 +31,8 @@ _JAX_GRID_THRESHOLD = 1_000_000
 class _FileAlignments:
     """Column arrays for one SAM file's aligned records, in file order."""
 
-    __slots__ = ("flags", "ref_id", "start", "end", "name_idx")
+    __slots__ = ("flags", "ref_id", "start", "end", "name_idx",
+                 "line_end")
 
     def __init__(self) -> None:
         self.flags: List[int] = []
@@ -39,6 +40,9 @@ class _FileAlignments:
         self.start: List[int] = []
         self.end: List[int] = []
         self.name_idx: List[int] = []
+        # aligned-record raw line-end byte offsets (native quick-parse
+        # only); lets the verdict rewrite run scan-free
+        self.line_end = None
 
     def finalize(self) -> None:
         self.flags = np.asarray(self.flags, dtype=np.int32)
@@ -166,6 +170,7 @@ def _load_native(in1: str, in2: str):
         fa.start = cols["start"]
         fa.end = cols["end"]
         fa.name_idx = cols["name_id"]
+        fa.line_end = cols.get("line_end")
         files.append(fa)
         log.eprint(
             f"{filename}: {log.thousands(len(fa))} alignments from "
@@ -341,13 +346,13 @@ def filter_sams(
     for which, (in_f, out_f) in enumerate(((in1, out1), (in2, out2))):
         verdicts = compute_verdicts(files, which, low, high,
                                     correct_orientation)
-        jobs.append((in_f, out_f, verdicts))
+        jobs.append((in_f, out_f, verdicts, files[which].line_end))
     after_count = 0
     with concurrent.futures.ThreadPoolExecutor(2) as pool:
-        futures = [pool.submit(_rewrite_sam_quiet, i, o, v)
-                   for i, o, v in jobs]
+        futures = [pool.submit(_rewrite_sam_quiet, i, o, v, le)
+                   for i, o, v, le in jobs]
         results = [fut.result() for fut in futures]
-    for (in_f, _o, _v), (pass_count, fail_count) in zip(jobs, results):
+    for (in_f, _o, _v, _le), (pass_count, fail_count) in zip(jobs, results):
         log.eprint(f"Filtering {in_f}:")
         log.eprint(f"  {log.thousands(pass_count)} pass")
         log.eprint(f"  {log.thousands(fail_count)} fail")
@@ -427,10 +432,12 @@ def compute_verdicts(
     return verdict
 
 
-def _rewrite_native(in_filename: str, out_filename: str, verdicts: np.ndarray):
+def _rewrite_native(in_filename: str, out_filename: str,
+                    verdicts: np.ndarray, line_end=None):
     """Native re-stream (plain-text OUTPUT only; gz/BAM inputs are
     materialised as SAM text natively since round 4); returns None to
-    fall back to the Python line loop."""
+    fall back to the Python line loop.  line_end (from the native
+    quick-parse) makes the rewrite scan-free."""
     if str(out_filename).endswith(".gz"):
         return None
     try:
@@ -440,15 +447,17 @@ def _rewrite_native(in_filename: str, out_filename: str, verdicts: np.ndarray):
             return None
     except OSError:
         return None
-    return binding.rewrite_sam_native(in_filename, out_filename, verdicts)
+    return binding.rewrite_sam_native(in_filename, out_filename, verdicts,
+                                      line_end=line_end)
 
 
 def _rewrite_sam_quiet(in_filename: str, out_filename: str,
-                       verdicts: np.ndarray):
+                       verdicts: np.ndarray, line_end=None):
     """Re-stream one input, writing pass-through or ZP:Z:fail-tagged
     lines; returns (pass_count, fail_count) without stderr output
     (thread-safe half of _rewrite_sam)."""
-    native_counts = _rewrite_native(in_filename, out_filename, verdicts)
+    native_counts = _rewrite_native(in_filename, out_filename, verdicts,
+                                    line_end)
     if native_counts is not None:
         return native_counts
     return _rewrite_python(in_filename, out_filename, verdicts)
