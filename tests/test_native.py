@@ -1,6 +1,8 @@
 """Native C++ SAM packer must produce the exact same event streams,
 stats, and end-to-end output as the pure-Python packer."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -440,3 +442,81 @@ def test_consensus_dense_native_matches_numpy():
         nid, st = binding.consensus_dense_native(counts, vt, it, low, orig)
         np.testing.assert_array_equal(nid, nid_ref)
         np.testing.assert_array_equal(st, st_ref)
+
+
+def test_u16_fold_saturation_fallback(tmp_path):
+    """A (pos, vocab) pair with > 65535 votes saturates the u16 staging
+    tensor; the widen pass must detect it and re-fold that range through
+    the exact int32 path (results identical to the u16-disabled run)."""
+    import subprocess
+    import sys
+
+    # 70k reads all voting the same base at the same positions
+    n = 70_000
+    lines = ["@SQ\tSN:c\tLN:64"]
+    for i in range(n):
+        lines.append(f"r{i}\t0\tc\t1\t60\t4M\t*\t0\t0\tACGT\tKKKK\tNM:i:0")
+    sam = tmp_path / "deep.sam"
+    sam.write_text("\n".join(lines) + "\n")
+    asm = tmp_path / "a.fasta"
+    asm.write_text(">c x\n" + "ACGT" * 16 + "\n")
+
+    code = (
+        "import io, sys\n"
+        "from polypolish_tpu import log\n"
+        "from polypolish_tpu.pipeline.polish import polish\n"
+        "out = io.StringIO()\n"
+        "with log.quiet():\n"
+        "    polish(None, 0.2, 0.5, 10, 5, False, sys.argv[1],"
+        " [sys.argv[2]], out=out, backend='host')\n"
+        "sys.stdout.write(out.getvalue())\n"
+    )
+    outs = {}
+    for u16 in ("1", "0"):
+        env = dict(os.environ, POLYPOLISH_TPU_U16_FOLD=u16)
+        p = subprocess.run([sys.executable, "-c", code, str(asm), str(sam)],
+                           env=env, capture_output=True, text=True)
+        assert p.returncode == 0, p.stderr[-500:]
+        outs[u16] = p.stdout
+    assert outs["1"] == outs["0"]
+    # counts themselves: verify > 65535 at position 0 via the fold
+    from polypolish_tpu.io.fasta import load_fasta
+    from polypolish_tpu.native import runs as nruns
+    from polypolish_tpu.vocab import Vocab
+
+    fa = load_fasta(asm)
+    names = [nm for nm, _, _ in fa]
+    lens = {nm: len(s) for nm, _, s in fa}
+    pr = nruns.parse_runs([str(sam)], names, lens, Vocab(), 10, False)
+    counts, _d, _s, _t = pr.fold("c", thresholds=(5, 0.5, 0.2))
+    assert counts.max() >= n - 1, "test must actually exceed u16 range"
+    pr.close()
+
+
+def test_native_sparse_contig_matches_fold(tmp_path):
+    """pp_sparse_contig (the zero-copy-aware sparse extractor) must
+    return exactly the fold's sparse tier on workloads with interned
+    insertions and reused secondaries."""
+    fasta, sam_text = synth.make_polish_case(
+        seed=77, genome_len=3000, n_reads=2500, read_len=60, err=0.15,
+        multi_frac=0.6,
+    )
+    asm = tmp_path / "a.fasta"
+    asm.write_text(synth.fasta_text(fasta))
+    sam = tmp_path / "a.sam"
+    sam.write_text(sam_text)
+    from polypolish_tpu.io.fasta import load_fasta
+    from polypolish_tpu.native import runs as nruns
+    from polypolish_tpu.vocab import Vocab
+
+    fa = load_fasta(asm)
+    names = [nm for nm, _, _ in fa]
+    lens = {nm: len(s) for nm, _, s in fa}
+    pr = nruns.parse_runs([str(sam)], names, lens, Vocab(), 10, False)
+    for name in names:
+        want = pr.fold(name)[2]
+        got = pr.sparse(name)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+        np.testing.assert_array_equal(got[2], want[2])
+    pr.close()
