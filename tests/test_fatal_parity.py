@@ -303,3 +303,44 @@ def test_survivors_three_way_identical(tmp_path, sam_text):
     proc = _run_ppref(asm, sam)
     assert proc.returncode == 0, proc.stderr.decode()
     assert proc.stdout.decode() == fasta_py
+
+
+def test_empty_line_asymmetry_polish_vs_filter(tmp_path):
+    """The reference SKIPS empty lines in polish (alignment.rs:241) but
+    DIES on them in filter (filter.rs has no empty-line guard, so
+    new_quick reports too-few-columns).  Pin the asymmetry three-way."""
+    from polypolish_tpu.pipeline.filtering import filter_pairs
+
+    asm = _asm(tmp_path)
+    sam_text = ("r1\t0\tc1\t1\t60\t8M\t*\t0\t0\tACGTACGT\tKKKKKKKK"
+                "\tNM:i:0\n\n"
+                "r2\t0\tc1\t9\t60\t8M\t*\t0\t0\tACGTACGT\tKKKKKKKK"
+                "\tNM:i:0\n")
+    sam = tmp_path / "x.sam"
+    sam.write_text(sam_text)
+
+    # polish: empty line skipped on all three implementations
+    fasta_py = _run_framework(asm, sam, use_native=False)
+    if loader.available():
+        assert _run_framework(asm, sam, use_native=True) == fasta_py
+    proc = _run_ppref(asm, sam)
+    assert proc.returncode == 0
+    assert proc.stdout.decode() == fasta_py
+
+    # filter: the empty line is a too-few-columns fatal (line 2)
+    pattern = (r'too few columns in "' + re.escape(str(sam))
+               + r'" \(line 2\)')
+    with log.quiet(), pytest.raises(PolypolishError, match=pattern):
+        filter_pairs(str(sam), str(sam) + "2", str(tmp_path / "o1.sam"),
+                     str(tmp_path / "o2.sam"))
+    binary = replica.build()
+    if binary is not None:
+        (tmp_path / "y.sam").write_text(sam_text)
+        proc = subprocess.run(
+            [binary, "filter", "--in1", str(sam),
+             "--in2", str(tmp_path / "y.sam"),
+             "--out1", str(tmp_path / "r1.sam"),
+             "--out2", str(tmp_path / "r2.sam")],
+            capture_output=True, check=False)
+        assert proc.returncode == 1
+        assert re.search(pattern, proc.stderr.decode("utf-8", "replace"))
