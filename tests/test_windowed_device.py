@@ -150,3 +150,20 @@ def test_windowed_device_pipeline_depth(tmp_path, monkeypatch, depth):
                           "pallas", window=777, tag=f"dd{depth}")
     assert dev == host
     assert dev_stats == host_stats
+
+
+def test_windowed_device_mxu_overflow_mode(tmp_path, monkeypatch):
+    """The windowed device pipeline with the MXU overflow mode forced —
+    the configuration real chips take by default since round 5 — must
+    match the host byte-for-byte (interpret-mode MXU kernel here)."""
+    monkeypatch.setenv("POLYPOLISH_TPU_OV_MODE", "mxu")
+    fasta, sam_text = synth.make_polish_case(
+        seed=43, genome_len=5000, n_reads=3000, read_len=60, err=0.08,
+        multi_frac=0.5,
+    )
+    host, host_stats = _run(tmp_path, fasta, [sam_text], monkeypatch,
+                            "host", tag="hm")
+    dev, dev_stats = _run(tmp_path, fasta, [sam_text], monkeypatch,
+                          "pallas", window=777, tag="dm")
+    assert dev == host
+    assert dev_stats == host_stats
