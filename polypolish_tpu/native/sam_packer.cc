@@ -1282,52 +1282,63 @@ struct RunsResult {
                     (int32_t)r};
         max_c = std::max(max_c, run_contig[r]);
       }
-      // LSD radix sort on (contig << 32 | start): O(n) with 2-4 linear
-      // passes instead of std::sort's n log n compares — the sort was
-      // ~30% of the first fold at the 4-7 M-run bench scales.  Stable,
-      // so equal keys keep stream order (bit-identical downstream).
-      // Each pass runs on two threads (round 4: the background sort
-      // still landed inside the first fold's wall time at 13 M runs):
-      // per-segment histograms -> digit-major/segment-minor offsets ->
-      // per-segment scatters; segment 0's equal keys land before
-      // segment 1's, so stability is preserved exactly.
+      // LSD radix sort on (contig << 32 | start): O(n) with a few
+      // linear passes instead of std::sort's n log n compares — the
+      // sort was ~30% of the first fold at the 4-7 M-run bench scales.
+      // Stable, so equal keys keep stream order (bit-identical
+      // downstream).  Each pass runs on two threads: per-segment
+      // histograms -> digit-major/segment-minor offsets -> per-segment
+      // scatters; segment 0's equal keys land before segment 1's, so
+      // stability is preserved exactly.  Digit width adapts to the key
+      // range (round 5): 11-bit digits keep the two per-thread
+      // histograms L1-resident (2 x 8 KB vs 2 x 256 KB at 16 bits),
+      // and a 4.6 Mb single-contig key (23 bits) still sorts in 2
+      // passes + one fewer cache-thrashed prefix loop.
       {
+        uint64_t max_key = 1;
+        for (size_t r = 0; r < n; ++r)
+          max_key |= (uint64_t)keyed[r].first;
+        int key_bits = 64 - __builtin_clzll(max_key);
+        int digit = 11;
+        int n_passes = (key_bits + digit - 1) / digit;
+        // spread the bits evenly (e.g. 23 bits -> 2 passes of 12)
+        digit = (key_bits + n_passes - 1) / n_passes;
+        const size_t nbuckets = (size_t)1 << digit;
+        const uint64_t dmask = nbuckets - 1;
+
         std::vector<std::pair<int64_t, int32_t>> tmp(n);
+        std::vector<uint32_t> c0(nbuckets), c1(nbuckets);
         const size_t half = n / 2;
         auto pass = [&](int shift) {
+          std::fill(c0.begin(), c0.end(), 0u);
+          std::fill(c1.begin(), c1.end(), 0u);
           auto histo = [&](size_t r0, size_t r1,
-                           std::array<uint32_t, 65536>& cnt) {
+                           std::vector<uint32_t>& cnt) {
             for (size_t r = r0; r < r1; ++r)
-              ++cnt[(size_t)((uint64_t)keyed[r].first >> shift) & 0xFFFF];
+              ++cnt[(size_t)(((uint64_t)keyed[r].first >> shift) & dmask)];
           };
-          std::array<uint32_t, 65536> c0{}, c1{};
           std::thread th(histo, half, n, std::ref(c1));
           histo(0, half, c0);
           th.join();
           uint32_t acc = 0;
-          for (size_t d = 0; d < 65536; ++d) {
+          for (size_t d = 0; d < nbuckets; ++d) {
             uint32_t v0 = c0[d], v1 = c1[d];
             c0[d] = acc;
             c1[d] = acc + v0;
             acc += v0 + v1;
           }
           auto scatter = [&](size_t r0, size_t r1,
-                             std::array<uint32_t, 65536>& off) {
+                             std::vector<uint32_t>& off) {
             for (size_t r = r0; r < r1; ++r)
-              tmp[off[(size_t)((uint64_t)keyed[r].first >> shift) &
-                     0xFFFF]++] = keyed[r];
+              tmp[off[(size_t)(((uint64_t)keyed[r].first >> shift) &
+                               dmask)]++] = keyed[r];
           };
           std::thread th2(scatter, half, n, std::ref(c1));
           scatter(0, half, c0);
           th2.join();
           keyed.swap(tmp);
         };
-        pass(0);
-        pass(16);
-        if (max_c > 0) {
-          pass(32);
-          if (max_c >= (1 << 16)) pass(48);
-        }
+        for (int p = 0; p < n_passes; ++p) pass(p * digit);
       }
       sruns.reserve(n);
       madvise_huge(sruns.data(), n * sizeof(SortedRun));
