@@ -19,7 +19,7 @@ Architecture (TPU-first, not a translation):
   (psum vote merge) x position-sharded count tensors.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 TOOL_NAME = "Polypolish-TPU"
 
