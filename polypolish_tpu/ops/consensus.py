@@ -191,8 +191,14 @@ def consensus_sparse_override(
     seg_id = np.searchsorted(upos, sp_pos)
     vt = valid_thr[upos].astype(np.int64)
     it = invalid_thr[upos].astype(np.int64)
-    c = np.asarray(counts)
-    cols = c if c.shape[1] == upos.size else c[:, upos]  # (8, n_u)
+    # Shape-check BEFORE materialising: `counts` may be a device array,
+    # and slicing columns on device first keeps the host fetch at
+    # (8, n_u) instead of the full (8, P) tensor (seconds on a
+    # tunnel-attached chip).
+    if counts.shape[1] == upos.size:
+        cols = np.asarray(counts)
+    else:
+        cols = np.asarray(counts[:, upos])  # (8, n_u) gather
     participate = _ACGT_ROWS | (cols > 0)
     isv_d = participate & (cols >= vt[None, :])
     isi_d = participate & ~isv_d & (cols >= it[None, :])
