@@ -49,24 +49,35 @@ CACHE_DIR = os.environ.get(
 # ---------------------------------------------------------------------
 
 def ensure_workload(genome_mb: float, coverage: float, read_len: int,
-                    repeat_len: int, repeat_copies: int, seed: int):
+                    repeat_len: int, repeat_copies: int, seed: int,
+                    n_contigs: int = 1):
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "benchmarks"))
     import workload
 
     key = (f"e2e_{genome_mb}_{coverage}_{read_len}_{repeat_len}_"
-           f"{repeat_copies}_{seed}")
+           f"{repeat_copies}_{seed}"
+           + (f"_c{n_contigs}" if n_contigs > 1 else ""))
     asm = os.path.join(CACHE_DIR, f"{key}.fasta")
     paths = [os.path.join(CACHE_DIR, f"{key}_{i}.sam") for i in (1, 2)]
     if all(os.path.exists(p) for p in [asm] + paths):
         return asm, paths
     t0 = time.time()
     eprint(f"generating workload {key} ...")
-    fasta, sams, info = workload.make_paired_case(
-        seed=seed, genome_len=int(genome_mb * 1e6), coverage=coverage,
-        read_len=read_len, repeat_len=repeat_len,
-        repeat_copies=repeat_copies,
-    )
+    if n_contigs > 1:
+        # SURVEY config-4 shape: a multi-contig draft
+        fasta, sams, info = workload.make_multi_contig_case(
+            seed=seed, n_contigs=n_contigs,
+            contig_len=int(genome_mb * 1e6) // n_contigs,
+            coverage=coverage, read_len=read_len,
+            repeat_len=repeat_len, repeat_copies=repeat_copies,
+        )
+    else:
+        fasta, sams, info = workload.make_paired_case(
+            seed=seed, genome_len=int(genome_mb * 1e6), coverage=coverage,
+            read_len=read_len, repeat_len=repeat_len,
+            repeat_copies=repeat_copies,
+        )
     os.makedirs(CACHE_DIR, exist_ok=True)
     with open(asm, "w") as f:
         f.write(fasta)
@@ -145,6 +156,7 @@ def main_e2e(args):
     asm, sams = ensure_workload(
         args.genome_mb, args.coverage, args.read_len,
         args.repeat_len, args.repeat_copies, args.seed,
+        n_contigs=getattr(args, "contigs", 1),
     )
     n_alignments = None
     # count aligned records once from the replica's stderr
@@ -1119,6 +1131,9 @@ def main():
     ap.add_argument("--repeat-len", type=int, default=20_000)
     ap.add_argument("--repeat-copies", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--contigs", type=int, default=1,
+                    help="split the e2e genome over N contigs (SURVEY "
+                    "config-4 multi-contig shape)")
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--baseline-runs", type=int, default=3)
     ap.add_argument("--backend", default=None,

@@ -87,6 +87,7 @@ def make_paired_case(
     repeat_len: int = 0,
     repeat_copies: int = 0,
     contig_name: str = "contig_1",
+    read_prefix: str = "r",
 ) -> Tuple[str, List[str], dict]:
     """Returns (fasta_text, [sam1_text, sam2_text], info).
 
@@ -160,7 +161,7 @@ def make_paired_case(
         nms_l = nms.tolist()
         qual = "I" * L
         for i in range(n_pairs):
-            name = f"r{i:07d}"
+            name = f"{read_prefix}{i:07d}"
             lines.append(
                 f"{name}\t{flags_l[i]}\t{contig_name}\t{starts_l[i]}\t60\t"
                 f"{cigar}\t*\t0\t0\t{seqs[i]}\t{qual}\tNM:i:{nms_l[i]}\n"
@@ -254,3 +255,42 @@ if __name__ == "__main__":
           f"({info['n_secondary']:,} secondary) in {time.time()-t0:.1f}s",
           file=sys.stderr)
     print(asm, *paths)
+
+
+def make_multi_contig_case(
+    seed: int = 0,
+    n_contigs: int = 10,
+    contig_len: int = 10_000_000,
+    coverage: float = 10.0,
+    read_len: int = 150,
+    repeat_len: int = 0,
+    repeat_copies: int = 0,
+) -> Tuple[str, List[str], dict]:
+    """Multi-contig draft (SURVEY config-4 shape: "multi-contig 100 Mb
+    draft"): n_contigs independent contigs concatenated into one FASTA
+    + two SAM files.  Read names carry a per-contig prefix so group
+    boundaries stay exact, and each sub-case's header @SQ lines are
+    merged up front (SAM wants all header lines before any body)."""
+    fastas, bodies1, bodies2, sqs = [], [], [], []
+    total = {"n_pairs": 0, "n_alignments": 0, "n_secondary": 0}
+    for k in range(n_contigs):
+        name = f"contig_{k + 1}"
+        fa, sams, info = make_paired_case(
+            seed=seed * 1000 + k, genome_len=contig_len,
+            coverage=coverage, read_len=read_len,
+            repeat_len=repeat_len, repeat_copies=repeat_copies,
+            contig_name=name, read_prefix=f"c{k}r",
+        )
+        fastas.append(fa)
+        sqs.append(f"@SQ\tSN:{name}\tLN:{contig_len}\n")
+        for b, s in zip((bodies1, bodies2), sams):
+            # strip the sub-case's 2 header lines
+            b.append(s.split("\n", 2)[2])
+        for key in total:
+            total[key] += info[key]
+    header = "@HD\tVN:1.6\tSO:unsorted\n" + "".join(sqs)
+    total["genome_len"] = n_contigs * contig_len
+    total["read_len"] = read_len
+    return ("".join(fastas),
+            [header + "".join(bodies1), header + "".join(bodies2)],
+            total)
