@@ -2400,9 +2400,10 @@ struct U16StagePool {
 };
 U16StagePool g_u16_pool;
 
-// u16 staging is a win while the tensor fits comfortably (bacterial-
-// genome scale); huge contigs go through the windowed paths anyway.
-constexpr int64_t kU16FoldMaxP = 8'000'000;
+// u16 staging is a win while the tensor fits comfortably (up to the
+// 16 Mb contig scale, 256 MB staging); larger contigs go through the
+// windowed paths anyway (default window min 32 Mb).
+constexpr int64_t kU16FoldMaxP = 16'000'000;
 
 bool u16_fold_enabled() {
   static const bool on = [] {
