@@ -351,8 +351,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                 finally:
                     fasta_out.flush()
             elif args.pod_shards and args.pod_shards > 1:
+                from polypolish_tpu.errors import quit_with_error
                 from polypolish_tpu.pipeline.pod import polish_pod
 
+                # pod-sharded ingest needs the native byte-range parser
+                # and runs votes/consensus through the host fold
+                if args.pure_python:
+                    quit_with_error(
+                        "--pod-shards requires the native engine and is "
+                        "incompatible with --pure-python"
+                    )
+                if args.backend not in ("host", "auto"):
+                    print(
+                        f"note: --pod-shards uses the host fold; "
+                        f"ignoring --backend {args.backend}",
+                        file=sys.stderr,
+                    )
                 polish_pod(
                     args.debug, args.fraction_invalid, args.fraction_valid,
                     args.max_errors, args.min_depth, args.careful,

@@ -274,7 +274,7 @@ class LanesPolisher:
                 # tax goes away while the 1.34x pad layout stays.
                 # Bitwise-identical to the scatter (integer adds).
                 from polypolish_tpu.ops.vote_pallas import (
-                    _vote_pallas_call,
+                    _vote_pallas_jit,
                     prepare_chunks,
                 )
 
@@ -283,7 +283,11 @@ class LanesPolisher:
                     np.asarray(ov_pos, dtype=np.int64),
                     np.asarray(ov_vid, dtype=np.int32), P_pad,
                 )
-                extra = _vote_pallas_call(
+                # the JITTED wrapper: the geometric chunk-shape
+                # bucketing shares compiles across contigs/windows —
+                # the eager call re-traced the Pallas kernel every time
+                # (measured 276x slower per call)
+                extra = _vote_pallas_jit(
                     jax.device_put(cp), jax.device_put(cv),
                     jax.device_put(ct), n_tiles=mxu_tiles,
                     interpret=self.interpret,

@@ -2371,14 +2371,19 @@ void fold_counts(RunsResult& rr, int32_t contig, int64_t P,
 // two position-disjoint halves WITHIN a call do share it).
 struct U16StagePool {
   std::mutex mu;
+  // (capacity, ptr): the recorded size is the buffer's TRUE allocated
+  // capacity (get() hands it back via cap_out and put() re-registers
+  // with it) — recording the caller's request size would permanently
+  // shrink a large pooled buffer after it served a smaller fold.
   std::vector<std::pair<size_t, uint16_t*>> free_bufs;
 
-  uint16_t* get(size_t n_elems) {
+  uint16_t* get(size_t n_elems, size_t* cap_out) {
     {
       std::lock_guard<std::mutex> g(mu);
       for (size_t i = 0; i < free_bufs.size(); ++i) {
         if (free_bufs[i].first >= n_elems) {
           uint16_t* p = free_bufs[i].second;
+          *cap_out = free_bufs[i].first;
           free_bufs.erase(free_bufs.begin() + (long)i);
           return p;
         }
@@ -2386,16 +2391,17 @@ struct U16StagePool {
     }
     uint16_t* p = (uint16_t*)malloc(n_elems * sizeof(uint16_t));
     if (p) madvise_huge(p, n_elems * sizeof(uint16_t));
+    *cap_out = n_elems;
     return p;
   }
-  void put(size_t n_elems, uint16_t* p) {
+  void put(size_t capacity, uint16_t* p) {
     if (!p) return;
     std::lock_guard<std::mutex> g(mu);
     if (free_bufs.size() >= 4) {  // bound pool growth in batch mode
       free(p);
       return;
     }
-    free_bufs.emplace_back(n_elems, p);
+    free_bufs.emplace_back(capacity, p);
   }
 };
 U16StagePool g_u16_pool;
@@ -3583,9 +3589,10 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
         }
       }
     }
+    size_t stage_cap = 0;
     uint16_t* stage =
         (u16_fold_enabled() && P > 0 && P <= kU16FoldMaxP)
-            ? g_u16_pool.get((size_t)kDenseVNative * (size_t)P)
+            ? g_u16_pool.get((size_t)kDenseVNative * (size_t)P, &stage_cap)
             : nullptr;
     std::unordered_map<int64_t, int32_t> sp_a, sp_b;
     auto half = [&](int64_t lo, int64_t hi,
@@ -3609,15 +3616,17 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
     std::thread td([&]() { half(mid, P, sp_b); });
     half(0, mid, sp_a);
     td.join();
-    if (stage) g_u16_pool.put((size_t)kDenseVNative * (size_t)P, stage);
+    if (stage) g_u16_pool.put(stage_cap, stage);
     sparse_to_buffers(sp_a, fb);
     sparse_to_buffers(sp_b, fb);
   } else {
     depth_and_thresholds();
     if (counts_out) {
+      size_t stage_cap = 0;
       uint16_t* stage =
           (u16_fold_enabled() && P > 0 && P <= kU16FoldMaxP)
-              ? g_u16_pool.get((size_t)kDenseVNative * (size_t)P)
+              ? g_u16_pool.get((size_t)kDenseVNative * (size_t)P,
+                               &stage_cap)
               : nullptr;
       if (stage) {
         std::unordered_map<int64_t, int32_t> sparse;
@@ -3626,7 +3635,7 @@ PPFoldView* pp_fold_contig(PPRunsView* runs, int32_t contig, int64_t P,
           sparse.clear();
           fold_counts_range(*rr, contig, P, 0, P, counts_out, sparse);
         }
-        g_u16_pool.put((size_t)kDenseVNative * (size_t)P, stage);
+        g_u16_pool.put(stage_cap, stage);
         sparse_to_buffers(sparse, fb);
       } else {
         fold_counts(*rr, contig, P, counts_out, fb);

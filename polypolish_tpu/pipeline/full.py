@@ -54,8 +54,25 @@ def polish_paired(
     try:
         filter_pairs(in1, in2, out1, out2, orientation, low, high)
         if pod_shards and pod_shards > 1:
+            from polypolish_tpu.errors import quit_with_error
             from polypolish_tpu.pipeline.pod import polish_pod
 
+            # pod-sharded ingest needs the native byte-range parser and
+            # votes/consensus run through the host fold — reject or
+            # note conflicting options instead of silently ignoring
+            if not use_native:
+                quit_with_error(
+                    "--pod-shards requires the native engine and is "
+                    "incompatible with --pure-python"
+                )
+            if backend not in ("host", "auto"):
+                import sys as _sys
+
+                print(
+                    f"note: --pod-shards uses the host fold; ignoring "
+                    f"--backend {backend}",
+                    file=_sys.stderr,
+                )
             return polish_pod(
                 debug, fraction_invalid, fraction_valid, max_errors,
                 min_depth, careful, assembly, [out1, out2], pod_shards,

@@ -174,3 +174,15 @@ def test_cli_full_pod_shards_and_kernel_variant(tmp_path, capsys,
     got = capsys.readouterr().out
     assert rc == 0
     assert got == want
+
+
+def test_cli_pod_shards_rejects_pure_python(tmp_path, capsys):
+    """--pod-shards needs the native byte-range parser; --pure-python
+    must be a clean fatal, not a silently ignored flag (round-5 review
+    finding)."""
+    asm, sam = _write_case(tmp_path, seed=31, n_reads=60)
+    with pytest.raises(SystemExit) as e:
+        main(["polish", "--pure-python", "--pod-shards", "2",
+              str(asm), str(sam)])
+    assert e.value.code == 1
+    assert "incompatible with --pure-python" in capsys.readouterr().err
