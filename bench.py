@@ -539,6 +539,10 @@ def bench_lanes(pos, vocab, num_positions, iters, r_sub, tile_w,
         from polypolish_tpu.ops.vote_lanes import to_packed4
 
         arr = to_packed4(vb, r_sub)
+    elif body == "packed8":
+        from polypolish_tpu.ops.vote_lanes import to_packed8
+
+        arr = to_packed8(vb, r_sub)
     else:
         arr = vb.view(np.int8)
     d_vb = jnp.asarray(arr)
@@ -700,6 +704,7 @@ def main_kernel(args):
         rate, roofline = bench_lanes(
             pos, vocab, args.positions, max(args.iters, 24), r_sub, tile_w,
             check=not args.no_check, cap=args.cap, ov_mode=args.ov_mode,
+            body=args.lanes_body,
         )
         print(json.dumps({
             "metric": "pileup_vote_throughput",
@@ -1158,6 +1163,10 @@ def main():
                     "layout (lower pad, but the overflow scatter-add "
                     "costs ~8 ns/event on-chip — a win only where "
                     "upload bytes dominate, i.e. the device e2e path)")
+    ap.add_argument("--lanes-body", default="packed4",
+                    choices=("packed", "cmp", "packed4", "packed8"),
+                    help="--kernel lanes body (packed8 = nibble wire "
+                    "format, ~0.5 B/event)")
     ap.add_argument("--ov-mode", default="scatter",
                     choices=("scatter", "mxu"),
                     help="--kernel --cap overflow mechanism: XLA "

@@ -76,12 +76,23 @@ def _make_lanes_kernel(r_sub: int, tile_w: int, body: str = "packed"):
     per-vocab cross-sublane reduces were the body's main cost).
 
     body='cmp': the straightforward 8x (compare + widen + sublane-sum).
-    Both are exact integer sums — bitwise interchangeable."""
-    assert body in ("packed", "cmp", "packed4")
-    if body in ("packed", "packed4"):
+
+    body='packed8' (round 5): NIBBLE-packed input — eight 4-bit fields
+    per int32 lane (two events per byte: dense vocab 0-7, pad/sparse
+    15), halving the wire format to ~0.5 B/event for upload-bound
+    device paths.  Same carry-save accumulation after a 4-bit extract;
+    per-event lane-ops match packed4 (each int32 row carries twice the
+    events), so the HBM-resident rate is comparable and the win is
+    pure transfer volume.
+
+    All bodies are exact integer sums — bitwise interchangeable."""
+    assert body in ("packed", "cmp", "packed4", "packed8")
+    if body in ("packed", "packed4", "packed8"):
         assert r_sub <= 255, "packed body: byte fields overflow past 255"
     if body == "packed4":
         assert r_sub % 4 == 0
+    if body == "packed8":
+        assert r_sub % 8 == 0
 
     def _kernel(tiles_ref, vb_ref, out_ref):
         c = pl.program_id(0)
@@ -91,6 +102,43 @@ def _make_lanes_kernel(r_sub: int, tile_w: int, body: str = "packed"):
         @pl.when(is_first)
         def _():
             out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        if body == "packed8":
+            # eight 4-bit fields per int32 lane; nibble 15 = pad/sparse.
+            # The byte-plane one-hot (1 << 8*(v&3)) is built from
+            # CONSTANT i32 selects instead of a data-dependent shift:
+            # Mosaic on v5e narrows the nibble dataflow to i8 vectors
+            # and cannot lower an i8 shli (the round-2 int8 legalization
+            # gap again); the 16777216 constant pins the lanes to i32.
+            x = vb_ref[:, :]  # (r_sub//8, tile_w) int32
+            lo = jnp.zeros_like(x)
+            hi = jnp.zeros_like(x)
+            from jax import lax as _lax
+
+            for k in range(8):
+                # LOGICAL shifts throughout: Mosaic on v5e narrows this
+                # dataflow and cannot legalize a narrow arith.shrsi
+                vk = _lax.shift_right_logical(x, 4 * k) & 0xF
+                # 1 << 8t via two's-complement masking ONLY (add/sub/
+                # and): scalar-scalar selects hit a Mosaic i1-relayout
+                # bug on v5e, data-dependent shifts hit the i8 shli
+                # gap, and narrow multiplies hit the i8 multiply gap —
+                # (0 - bit) is 0 or all-ones, so (0 - bit) & C is 0 or C
+                a = vk & 1
+                b = _lax.shift_right_logical(vk, 1) & 1
+                ab = a & b
+                one = (jnp.int32(1)
+                       + ((0 - a) & 255)
+                       + ((0 - b) & 65535)
+                       + ((0 - ab) & 16711425))
+                lo = lo + jnp.where(vk < 4, one, 0)
+                hi = hi + jnp.where((vk >= 4) & (vk < DENSE_V), one, 0)
+            slo = jnp.sum(lo, axis=0, keepdims=True)
+            shi = jnp.sum(hi, axis=0, keepdims=True)
+            parts = [(slo >> (8 * v)) & 0xFF for v in range(4)]
+            parts += [(shi >> (8 * v)) & 0xFF for v in range(4)]
+            out_ref[:, :] += jnp.concatenate(parts, axis=0)
+            return
 
         if body == "packed4":
             # input is int32 with FOUR byte-rows packed per lane (host
@@ -139,8 +187,13 @@ def _make_lanes_kernel(r_sub: int, tile_w: int, body: str = "packed"):
 
 def _rows_per_block(r_sub: int, body: str) -> int:
     """Array rows per grid block: r_sub byte-rows, except the packed4
-    layout where four byte-rows share one int32 row."""
-    return r_sub // 4 if body == "packed4" else r_sub
+    (four byte-rows per int32 row) and packed8 (eight nibble-rows per
+    int32 row) layouts."""
+    if body == "packed4":
+        return r_sub // 4
+    if body == "packed8":
+        return r_sub // 8
+    return r_sub
 
 
 def _lanes_call_one(vb, block_tile, n_tiles: int, interpret: bool,
@@ -363,6 +416,23 @@ def prepare_lanes(
     return vb, block_tile, n_tiles
 
 
+def to_packed8(vb: np.ndarray, r_sub: int) -> np.ndarray:
+    """Reorder a (rows, tile_w) uint8 lane buffer into the packed8
+    NIBBLE layout: int32 (rows//8, tile_w) with 4-bit field k of each
+    lane = row 8q+k (dense vocab 0-7; any byte >= 8 — pad or
+    sparse-tier — maps to nibble 15, which the kernel ignores exactly
+    like bytes >= 8).  Counts are row-order-invariant, so this is
+    bitwise-neutral; the wire format halves to ~0.5 B/event."""
+    rows, w = vb.shape
+    assert rows % 8 == 0 and r_sub % 8 == 0
+    nib = np.where(vb < DENSE_V, vb, 15).astype(np.uint32)
+    x = nib.reshape(rows // 8, 8, w)
+    out = np.zeros((rows // 8, w), np.uint32)
+    for k in range(8):
+        out |= x[:, k, :] << np.uint32(4 * k)
+    return out.view(np.int32)
+
+
 def to_packed4(vb: np.ndarray, r_sub: int) -> np.ndarray:
     """Reorder a (rows, tile_w) uint8 lane buffer into the packed4
     layout: int32 (rows//4, tile_w) with byte k of each lane = row
@@ -414,8 +484,12 @@ def dense_counts_lanes(
         vb, block_tile, n_tiles, ov_pos, ov_vid = packed
     else:
         vb, block_tile, n_tiles = packed
-    arr = (to_packed4(vb, r_sub) if body == "packed4"
-           else vb.view(np.int8))
+    if body == "packed4":
+        arr = to_packed4(vb, r_sub)
+    elif body == "packed8":
+        arr = to_packed8(vb, r_sub)
+    else:
+        arr = vb.view(np.int8)
     out = _lanes_jit(
         jnp.asarray(arr), jnp.asarray(block_tile),
         n_tiles=n_tiles, interpret=interpret, r_sub=r_sub, tile_w=tile_w,

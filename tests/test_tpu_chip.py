@@ -185,3 +185,14 @@ def test_chip_capped_mxu_overflow_bitwise(monkeypatch):
     vb, bt, n_tiles, ov_pos, ov_vid = packed
     got = np.asarray(m.vote_counts(vb, bt, ov_pos, ov_vid))[:, :P]
     np.testing.assert_array_equal(got, want)
+
+
+def test_chip_packed8_nibble_body_bitwise():
+    """The packed8 nibble-wire body compiled on chip (round-5 alternate:
+    ~0.5 B/event wire format; measured 145 G votes/s capped vs
+    packed4's 173 G — kept as the upload-lean alternate)."""
+    pos, vocab = rand_events(N, P, seed=115, sparse_frac=0.02, skew=True)
+    want = dense_counts_host(pos, vocab, P)
+    got = np.asarray(dense_counts_lanes(
+        pos, vocab, P, interpret=False, body="packed8", r_sub=64))
+    np.testing.assert_array_equal(got, want)

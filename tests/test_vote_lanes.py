@@ -131,3 +131,36 @@ def test_lanes_polisher_slab_uploads():
     got = np.asarray(m.vote_counts(vb, bt))[:, :3000]
     want = dense_counts_host(pos, vocab, 3000)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("cap", [False, True])
+def test_packed8_nibble_body_matches_host(cap):
+    """The packed8 (nibble-wire) body: two events per byte, bitwise
+    equal to the host fold (round-5 alternate; sparse bytes >= 8 map to
+    nibble 15 and are ignored exactly like the byte layouts)."""
+    pos, vocab = rand_events(120_000, 4000, 19, sparse_frac=0.03,
+                             skew=True)
+    want = dense_counts_host(pos, vocab, 4000)
+    got = np.asarray(dense_counts_lanes(
+        pos, vocab, 4000, interpret=True, r_sub=8, tile_w=128,
+        body="packed8", cap=cap,
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_to_packed8_layout():
+    """to_packed8 packs row 8q+k into 4-bit field k; bytes >= 8
+    (pad/sparse) become nibble 15."""
+    from polypolish_tpu.ops.vote_lanes import to_packed8
+
+    vb = np.full((8, 128), 255, np.uint8)
+    vb[0, 0] = 3
+    vb[1, 0] = 7
+    vb[7, 5] = 100  # sparse byte -> nibble 15
+    x = to_packed8(vb, 8).view(np.uint32)
+    assert x.shape == (1, 128)
+    assert x[0, 0] & 0xF == 3
+    assert (x[0, 0] >> 4) & 0xF == 7
+    assert (x[0, 5] >> 28) & 0xF == 15
+    # all remaining fields are pad (15)
+    assert x[0, 1] == 0xFFFFFFFF
